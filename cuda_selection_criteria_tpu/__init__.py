@@ -1,0 +1,35 @@
+"""cuda_selection_criteria_tpu — a TPU-native sketch-based genomic similarity engine.
+
+Finds all pairs of genomes with Jaccard similarity >= tau among a set of gzipped
+FASTA files using probabilistic sketches (HyperLogLog + SuperMinHash), with the
+all-pairs selection stage running as tiled MXU/VPU reductions on TPU via
+JAX / XLA / Pallas / pjit.
+
+Capability parity target: sanhue903/CUDA_Selection_Criteria (C++/OpenMP/CUDA).
+This is a ground-up TPU-first design, not a port:
+
+  * HLL register construction  -> batched hash + segment-max scatter (device)
+  * SuperMinHash bucket update -> reformulated as an order-independent
+    min-reduce over per-item Fisher-Yates candidates (bit-exact equivalent of
+    the sequential reference algorithm, proven in tests/test_smh.py), so the
+    whole sketch build is embarrassingly parallel.
+  * Pairwise HLL union histograms -> CDF-indicator matmuls on the MXU:
+    #{r : max(a_r,b_r) <= v} = sum_r [a_r<=v]*[b_r<=v], one (Bi,R)x(R,Bj)
+    contraction per register value v, instead of per-pair scalar loops.
+  * ERTL-MLE cardinality estimation -> batched, masked secant iteration in f64
+    (bit-identical to the reference's hll.h:629-688 scalar loop).
+  * Multi-chip scaling -> jax.sharding.Mesh with rows (pair-block data
+    parallelism) and registers (contraction sharding, psum of histograms).
+
+64-bit integers (canonical k-mers, WangHash, WyRand) and f64 estimators are
+required for bit-exactness with the reference, so importing this package
+enables JAX x64 mode.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from . import ops, models, parallel, utils  # noqa: E402,F401

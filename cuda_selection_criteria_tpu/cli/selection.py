@@ -1,0 +1,78 @@
+"""selection CLI - parity with the reference binaries.
+
+Reference usage (README.md:57-66, src/selection.cpp:86-111):
+    selection -l <filelist> -t <threads> -a <aux_bytes> -h <tau> -c <criterion>
+
+Loads the persisted sketches, runs the CB + auxiliary-criterion cascade with
+exact HLL-union confirmation, and prints `fileA fileB jaccard` lines in the
+reference's sorted-row order. Extra criteria beyond the reference:
+`cb` (CB-only cascade) and `baseline` (no pruning), covering the missing
+baseline binary (SURVEY.md section 2 #17).
+
+Defaults mirror src/selection.cpp:76-82: tau=0.9, aux=256 bytes, Z=1.96,
+order_n=1.
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="selection", description=__doc__,
+                                 add_help=False)
+    ap.add_argument("-x", action="store_true", dest="usage")
+    ap.add_argument("--help", action="help")
+    ap.add_argument("-l", dest="list_file", default="")
+    ap.add_argument("-t", dest="threads", type=int, default=8)
+    ap.add_argument("-a", dest="aux_bytes", type=int, default=256)
+    ap.add_argument("-h", dest="threshold", type=float, default=0.9)
+    ap.add_argument("-c", dest="criterion", default="")
+    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--sharded", action="store_true",
+                    help="use the multi-device mesh engine")
+    args = ap.parse_args(argv)
+
+    if args.usage:
+        print("Usage: -l -t -a -h -c")
+        return 0
+
+    valid = ("hll_a", "hll_an", "smh_a", "cb", "baseline", "smh_only")
+    if args.criterion not in valid:
+        print("Option -c invalid. The accepted criteria are hll_a, hll_an and smh_a.")
+        return 0
+
+    from ..models import SketchBank
+    from ..parallel.selection import SelectionParams, select_pairs, format_results
+    from ..utils.filelist import load_file_list
+
+    files = load_file_list(args.list_file)
+    load_crit = {
+        "hll_a": "hll_a",
+        "hll_an": "hll_an",
+        "smh_a": "smh_a",
+        "smh_only": "smh_a",
+    }.get(args.criterion)
+    bank = SketchBank.from_sketch_files(
+        files, criterion=load_crit, aux_bytes=args.aux_bytes
+    )
+    params = SelectionParams(
+        tau=args.threshold,
+        criterion=args.criterion,
+        aux_bytes=args.aux_bytes,
+        block=args.block,
+        precision=args.precision,
+    )
+    if args.sharded:
+        from ..parallel.mesh import select_pairs_sharded
+
+        results = select_pairs_sharded(bank, params)
+    else:
+        results = select_pairs(bank, params)
+    for line in format_results(results):
+        print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

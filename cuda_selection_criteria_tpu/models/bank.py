@@ -1,0 +1,214 @@
+"""SketchBank: stacked sketch arrays for the all-pairs selection engine.
+
+The reference keeps per-genome sketch objects in std::maps and flattens them
+ad hoc for the GPU (src/selection_cuda.cpp:130-143). Here the bank IS the
+flat layout from the start: registers (N, 2^14) uint8, aux sketches stacked,
+cardinalities as a single batched ERTL-MLE call - ready to shard across a
+device mesh by genome.
+"""
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import estimators, hll_build, smh_build, kmers as kmer_ops
+from ..utils import fasta, formats
+from .smh import vecsize
+
+PRIMARY_P = 14  # reference hardcodes p=14 for the primary sketch
+DEFAULT_K = 31  # reference hardcodes k=31 (src/build_sketch.cpp:190)
+
+# Pad k-mer streams to one of these sizes to bound recompilation.
+_CHUNK_BUCKETS = [1 << s for s in range(12, 25)]  # 4K .. 16M codes
+
+
+def _bucket_len(n):
+    for b in _CHUNK_BUCKETS:
+        if n <= b:
+            return b
+    return _CHUNK_BUCKETS[-1]
+
+
+@dataclass
+class SketchBank:
+    """Stacked sketches for N genomes.
+
+    Attributes:
+      names: list of genome file paths (identity for output lines).
+      regs: uint8 (N, 2^p) primary HLL registers.
+      p: primary precision (14).
+      cards: float64 (N,) ERTL-MLE cardinalities.
+      aux_kind: None | "hll" | "smh".
+      aux: uint8 (N, 2^p_aux) HLL registers, or uint64 (N, m) SMH buckets.
+      aux_param: p_aux for "hll", m for "smh".
+    """
+
+    names: list
+    regs: np.ndarray
+    p: int = PRIMARY_P
+    cards: np.ndarray = None
+    aux_kind: str = None
+    aux: np.ndarray = None
+    aux_param: int = None
+    meta: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.cards is None:
+            self.compute_cards()
+
+    @property
+    def n(self):
+        return len(self.names)
+
+    def compute_cards(self):
+        """Batched report() over the whole bank.
+
+        Cardinalities feed size_t truncation and the sort order, so they
+        must be bit-exact IEEE f64. On the CPU backend the batched jitted
+        MLE is exact; on accelerators (TPU f64 is double-float emulation)
+        the cards are computed on the host with the scalar reference MLE
+        instead.
+        """
+        import jax
+
+        if jax.default_backend() == "cpu":
+            self.cards = np.asarray(
+                estimators.ertl_mle_from_regs(jnp.asarray(self.regs), self.p)
+            )
+        else:
+            from ..utils import hostref
+
+            self.cards = np.array(
+                [hostref.report(r, self.p) for r in self.regs]
+            )
+        return self.cards
+
+    # -- loading from reference-format sketch files -------------------------
+    @classmethod
+    def from_sketch_files(cls, files, criterion=None, aux_bytes=256):
+        """Load .hll (+ .hll_{p} / .smh{m}) files like the reference's
+        selection binaries (src/selection.cpp:122-256)."""
+        regs = np.stack([formats.read_hll(f + ".hll")[1] for f in files])
+        aux_kind = aux = aux_param = None
+        if criterion in ("hll_a", "hll_an"):
+            p_aux = _ctz(aux_bytes)
+            aux = np.stack(
+                [formats.read_hll(f + f".hll_{p_aux}")[1] for f in files]
+            )
+            aux_kind, aux_param = "hll", p_aux
+        elif criterion == "smh_a":
+            m = aux_bytes // 8
+            aux = np.stack([formats.read_smh(f + f".smh{m}") for f in files])
+            aux_kind, aux_param = "smh", m
+        return cls(
+            names=list(files),
+            regs=regs,
+            aux_kind=aux_kind,
+            aux=aux,
+            aux_param=aux_param,
+        )
+
+    def write_sketch_files(self):
+        """Persist next to the FASTA files, reference formats/suffixes."""
+        for i, name in enumerate(self.names):
+            formats.write_hll(name + ".hll", self.p, self.regs[i])
+            if self.aux_kind == "hll":
+                formats.write_hll(
+                    name + f".hll_{self.aux_param}", self.aux_param, self.aux[i]
+                )
+            elif self.aux_kind == "smh":
+                formats.write_smh(name + f".smh{self.aux_param}", self.aux[i])
+
+    def sorted_by_cardinality(self):
+        """Ascending-cardinality view (order, sorted arrays) used by the
+        selection engine; mirrors src/selection.cpp:144-149."""
+        order = np.argsort(self.cards, kind="stable")
+        return order
+
+
+def _ctz(x):
+    return (x & -x).bit_length() - 1
+
+
+def sketch_codes_device(codes, k, p, aux_kind=None, aux_param=None):
+    """Build (primary regs, aux sketch) for one genome from its code stream.
+
+    Chunks the stream with k-1 overlap so windows spanning chunk boundaries
+    are computed exactly once, pads to bucketed sizes to bound compilation,
+    and merges per-chunk partial sketches (max for HLL, min for SMH).
+    """
+    codes = np.asarray(codes, np.uint8)
+    max_chunk = _CHUNK_BUCKETS[-1]
+    n = codes.size
+
+    regs = None
+    aux = None
+    pos = 0
+    overlap = k - 1
+    while pos == 0 or pos < n:
+        lo = max(0, pos - overlap)
+        piece = codes[lo : pos + max_chunk]
+        pos += max_chunk
+        blen = _bucket_len(piece.size)
+        if piece.size < blen:
+            piece = np.concatenate(
+                [piece, np.full(blen - piece.size, fasta.SENTINEL, np.uint8)]
+            )
+        jpiece = jnp.asarray(piece)
+        kms, valid = kmer_ops.canonical_kmers(jpiece, k)
+        zeros = jnp.zeros(kms.shape, jnp.int32)
+        r = hll_build.hll_build_batch(kms, valid, zeros, p, 1)[0]
+        regs = r if regs is None else jnp.maximum(regs, r)
+        if aux_kind == "hll":
+            a = hll_build.hll_build_batch(kms, valid, zeros, aux_param, 1)[0]
+            aux = a if aux is None else jnp.maximum(aux, a)
+        elif aux_kind == "smh":
+            a = smh_build.smh_build_batch(kms, valid, zeros, aux_param, 1)[0]
+            aux = a if aux is None else jnp.minimum(aux, a)
+        if n == 0:
+            break
+    return regs, aux
+
+
+def build_bank_from_files(files, criterion=None, aux_bytes=256, k=DEFAULT_K,
+                          io_threads=8):
+    """Build a SketchBank from FASTA files (parity: build_sketch CLI).
+
+    Host FASTA decode runs in a thread pool, overlapped with device sketch
+    construction (the TPU answer to the reference's OpenMP dynamic loop,
+    src/build_sketch.cpp:232-238).
+    """
+    aux_kind = aux_param = None
+    if criterion in ("hll_a", "hll_an"):
+        aux_kind, aux_param = "hll", _ctz(aux_bytes)
+    elif criterion == "smh_a":
+        aux_kind, aux_param = "smh", vecsize(aux_bytes // 8)
+
+    regs_list = [None] * len(files)
+    aux_list = [None] * len(files)
+
+    with ThreadPoolExecutor(max_workers=io_threads) as pool:
+        codes_iter = pool.map(fasta.fasta_codes, files)
+        for i, codes in enumerate(codes_iter):
+            regs, aux = sketch_codes_device(
+                codes, k, PRIMARY_P, aux_kind, aux_param
+            )
+            regs_list[i] = regs
+            aux_list[i] = aux
+
+    regs = np.stack([np.asarray(r) for r in regs_list])
+    aux = (
+        np.stack([np.asarray(a) for a in aux_list])
+        if aux_kind is not None
+        else None
+    )
+    return SketchBank(
+        names=list(files),
+        regs=regs,
+        aux_kind=aux_kind,
+        aux=aux,
+        aux_param=aux_param,
+    )

@@ -1,0 +1,259 @@
+// fastx: native FASTA ingestion + host-side sketch construction.
+//
+// TPU-native replacement for the reference's SeqAn-based scanner
+// (reference: src/build_sketch.cpp:41-95 + seqan seq_io) and its OpenMP
+// sketch builders. Two roles:
+//   1. fast gzip FASTA -> 2-bit code stream producer feeding the device
+//      batch kernels (codes: 0..3 = ACGT, 4 = reset sentinel);
+//   2. a complete host-side single-pass builder (HLL + SuperMinHash) used
+//      for host-only deployments and as a differential oracle against the
+//      TPU path (mirrors the reference's CPU-vs-GPU comparison harness,
+//      run_comparison_experiment.sh).
+//
+// C ABI, consumed from Python via ctypes (no pybind11 dependency).
+//
+// Build: make -C cuda_selection_criteria_tpu/native   (g++ -O3 -shared -lz)
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cstdio>
+#include <zlib.h>
+
+namespace {
+
+constexpr uint8_t kSentinel = 4;
+
+struct CodeLut {
+  uint8_t map[256];
+  CodeLut() {
+    std::memset(map, kSentinel, sizeof(map));
+    map[(unsigned)'A'] = map[(unsigned)'a'] = 0;
+    map[(unsigned)'C'] = map[(unsigned)'c'] = 1;
+    map[(unsigned)'G'] = map[(unsigned)'g'] = 2;
+    map[(unsigned)'T'] = map[(unsigned)'t'] = 3;
+  }
+};
+const CodeLut kLut;
+
+struct Buf {
+  uint8_t* data = nullptr;
+  size_t len = 0;
+  size_t cap = 0;
+  bool push(uint8_t v) {
+    if (len == cap) {
+      size_t ncap = cap ? cap * 2 : (1u << 20);
+      auto* nd = static_cast<uint8_t*>(std::realloc(data, ncap));
+      if (!nd) return false;
+      data = nd;
+      cap = ncap;
+    }
+    data[len++] = v;
+    return true;
+  }
+};
+
+// 64-bit Thomas Wang mix (same function family as sketch WangHash;
+// reference: sketch/include/sketch/hash.h:42-53).
+inline uint64_t wang64(uint64_t x) {
+  x = (~x) + (x << 21);
+  x ^= x >> 24;
+  x = (x + (x << 3)) + (x << 8);
+  x ^= x >> 14;
+  x = (x + (x << 2)) + (x << 4);
+  x ^= x >> 28;
+  x += x << 31;
+  return x;
+}
+
+// Strand-canonical 2-bit k-mer: min(kmer, revcomp) via pairwise bit
+// reversal + complement (reference semantics: src/build_sketch.cpp:26-39).
+inline uint64_t canonical64(uint64_t kmer, unsigned k) {
+  uint64_t x = kmer;
+  x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
+  x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+  x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
+  x = ((x >> 16) & 0x0000FFFF0000FFFFULL) | ((x & 0x0000FFFF0000FFFFULL) << 16);
+  x = (x >> 32) | (x << 32);
+  uint64_t rc = (~x) >> (64 - 2 * k);
+  return kmer < rc ? kmer : rc;
+}
+
+// wyhash64 counter PRNG step (reference: sketch/include/aesctr/wy.h:45-58).
+inline uint64_t wymum_fold(uint64_t a, uint64_t b) {
+  __uint128_t r = static_cast<__uint128_t>(a) * b;
+  return static_cast<uint64_t>(r) ^ static_cast<uint64_t>(r >> 64);
+}
+
+struct StreamScanner {
+  // Streaming FASTA state machine over decompressed bytes.
+  bool in_header = false;
+  bool line_start = true;
+
+  template <typename Emit>
+  void feed(const uint8_t* p, size_t n, Emit&& emit) {
+    for (size_t i = 0; i < n; ++i) {
+      uint8_t c = p[i];
+      if (in_header) {
+        if (c == '\n') {
+          in_header = false;
+          line_start = true;
+        }
+        continue;
+      }
+      if (c == '\n' || c == '\r') {
+        line_start = (c == '\n') || line_start;
+        continue;
+      }
+      if (line_start && c == '>') {
+        in_header = true;
+        emit(kSentinel);  // record boundary resets the k-mer window
+        continue;
+      }
+      line_start = false;
+      emit(kLut.map[c]);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Read a (possibly gzipped) FASTA file into a malloc'd code array.
+// Returns 0 on success; caller frees *out with fastx_free.
+int fastx_read_codes(const char* path, uint8_t** out, int64_t* out_len) {
+  gzFile fp = gzopen(path, "rb");
+  if (!fp) return -1;
+  gzbuffer(fp, 1u << 20);
+  Buf buf;
+  StreamScanner scan;
+  bool ok = buf.push(kSentinel);  // leading boundary
+  static thread_local uint8_t chunk[1u << 20];
+  int nread;
+  while (ok && (nread = gzread(fp, chunk, sizeof(chunk))) > 0) {
+    scan.feed(chunk, static_cast<size_t>(nread),
+              [&](uint8_t v) { ok = ok && buf.push(v); });
+  }
+  int err = 0;
+  gzerror(fp, &err);
+  gzclose(fp);
+  if (!ok || err < 0) {
+    std::free(buf.data);
+    return -2;
+  }
+  *out = buf.data;
+  *out_len = static_cast<int64_t>(buf.len);
+  return 0;
+}
+
+void fastx_free(uint8_t* p) { std::free(p); }
+
+// Single-pass host sketch builder: streams one FASTA file and fills
+//   regs     : uint8[1 << p]        primary HLL registers (zero-initialized here)
+//   regs_aux : uint8[1 << p_aux]    aux HLL registers      (if p_aux > 0)
+//   smh      : uint64[m]            SuperMinHash h_ vector (if m > 0)
+// Returns number of k-mers consumed, or -1 on error.
+int64_t fastx_build_sketches(const char* path, unsigned k, unsigned p,
+                             uint8_t* regs, unsigned p_aux, uint8_t* regs_aux,
+                             unsigned m, uint64_t* smh) {
+  gzFile fp = gzopen(path, "rb");
+  if (!fp) return -1;
+  gzbuffer(fp, 1u << 20);
+
+  if (regs) std::memset(regs, 0, size_t(1) << p);
+  if (p_aux && regs_aux) std::memset(regs_aux, 0, size_t(1) << p_aux);
+
+  // SuperMinHash working state (Ertl's algorithm with the shrinking upper
+  // bound; reference behavior: sketch/include/sketch/bbmh.h:639-670).
+  uint64_t smh_a_bound = m ? m - 1 : 0;
+  uint64_t smh_i = 0;
+  uint32_t* perm = nullptr;
+  uint32_t* stamp = nullptr;
+  int64_t* hist = nullptr;
+  if (m && smh) {
+    for (unsigned b = 0; b < m; ++b) smh[b] = ~0ULL;
+    perm = static_cast<uint32_t*>(std::calloc(m, sizeof(uint32_t)));
+    stamp = static_cast<uint32_t*>(std::malloc(m * sizeof(uint32_t)));
+    hist = static_cast<int64_t*>(std::calloc(m, sizeof(int64_t)));
+    std::memset(stamp, 0xFF, m * sizeof(uint32_t));
+    hist[m - 1] = m;
+  }
+
+  const uint64_t kmask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  uint64_t window = 0;
+  unsigned fill = 0;
+  int64_t n_kmers = 0;
+
+  auto add_kmer = [&](uint64_t km) {
+    ++n_kmers;
+    if (regs) {
+      uint64_t h = wang64(km);
+      unsigned idx = unsigned(h >> (64 - p));
+      uint8_t rank = uint8_t(__builtin_clzll(((h << 1) | 1) << (p - 1)) + 1);
+      if (regs[idx] < rank) regs[idx] = rank;
+    }
+    if (p_aux && regs_aux) {
+      uint64_t h = wang64(km);
+      unsigned idx = unsigned(h >> (64 - p_aux));
+      uint8_t rank =
+          uint8_t(__builtin_clzll(((h << 1) | 1) << (p_aux - 1)) + 1);
+      if (regs_aux[idx] < rank) regs_aux[idx] = rank;
+    }
+    if (m && smh) {
+      uint64_t state = km ? km : 1337;  // WyRand zero-seed remap (wy.h:113)
+      const uint64_t kInc = 0x60bee2bee120fc15ULL;
+      const uint64_t kXor = 0xe7037ed1a0b428dbULL;
+      for (uint64_t j = 0; j <= smh_a_bound; ++j) {
+        state += kInc;
+        uint64_t draw = wymum_fold(state ^ kXor, state);
+        uint32_t kk = uint32_t(draw) & (m - 1);
+        uint64_t r = draw >> 32;
+        // lazy per-item identity reset of the permutation
+        if (stamp[j] != smh_i) { stamp[j] = uint32_t(smh_i); perm[j] = uint32_t(j); }
+        if (stamp[kk] != smh_i) { stamp[kk] = uint32_t(smh_i); perm[kk] = kk; }
+        uint32_t t = perm[kk]; perm[kk] = perm[j]; perm[j] = t;
+        uint64_t cand = (j << 32) | r;
+        uint32_t bucket = perm[j];
+        if (cand < smh[bucket]) {
+          uint64_t jp = smh[bucket] >> 32;
+          if (jp > m - 1) jp = m - 1;
+          smh[bucket] = cand;
+          if (j < jp) {
+            --hist[jp];
+            ++hist[j];
+            while (hist[smh_a_bound] == 0) --smh_a_bound;
+          }
+        }
+      }
+      ++smh_i;
+    }
+  };
+
+  StreamScanner scan;
+  static thread_local uint8_t chunk[1u << 20];
+  int nread;
+  while ((nread = gzread(fp, chunk, sizeof(chunk))) > 0) {
+    scan.feed(chunk, static_cast<size_t>(nread), [&](uint8_t code) {
+      if (code >= 4) {
+        window = 0;
+        fill = 0;
+        return;
+      }
+      window = ((window << 2) | code) & kmask;
+      if (++fill == k) {
+        add_kmer(canonical64(window, k));
+        --fill;
+      }
+    });
+  }
+  int err = 0;
+  gzerror(fp, &err);
+  gzclose(fp);
+  std::free(perm);
+  std::free(stamp);
+  std::free(hist);
+  return err < 0 ? -1 : n_kmers;
+}
+
+}  // extern "C"

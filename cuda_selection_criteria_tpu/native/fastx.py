@@ -1,0 +1,110 @@
+"""ctypes bindings for the native fastx library (libfastx.so).
+
+Builds on demand via the sibling Makefile; every entry point degrades
+gracefully to the pure-Python path when the toolchain is unavailable.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libfastx.so")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SO):
+            try:
+                subprocess.run(
+                    ["make", "-C", _DIR, "-s"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.fastx_read_codes.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fastx_read_codes.restype = ctypes.c_int
+        lib.fastx_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.fastx_free.restype = None
+        lib.fastx_build_sketches.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_uint,
+            ctypes.c_uint,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.fastx_build_sketches.restype = ctypes.c_int64
+        _LIB = lib
+        return _LIB
+
+
+def available():
+    return _load() is not None
+
+
+def fasta_codes(path):
+    """Native FASTA -> uint8 code array (0..3 bases, 4 = reset)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("libfastx.so unavailable")
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int64()
+    rc = lib.fastx_read_codes(path.encode(), ctypes.byref(out),
+                              ctypes.byref(out_len))
+    if rc != 0:
+        raise IOError(f"fastx_read_codes({path}) failed: rc={rc}")
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    finally:
+        lib.fastx_free(out)
+    return arr
+
+
+def build_sketches(path, k=31, p=14, p_aux=0, m=0):
+    """Single-pass host build: (regs, regs_aux | None, smh | None, n_kmers)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("libfastx.so unavailable")
+    regs = np.zeros(1 << p, np.uint8)
+    regs_aux = np.zeros(1 << p_aux, np.uint8) if p_aux else None
+    smh = np.zeros(m, np.uint64) if m else None
+    n = lib.fastx_build_sketches(
+        path.encode(),
+        k,
+        p,
+        regs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        p_aux,
+        regs_aux.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if regs_aux is not None
+        else None,
+        m,
+        smh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        if smh is not None
+        else None,
+    )
+    if n < 0:
+        raise IOError(f"fastx_build_sketches({path}) failed")
+    return regs, regs_aux, smh, int(n)

@@ -1,0 +1,13 @@
+"""Device-side numerical kernels (JAX/XLA + Pallas)."""
+
+from . import hashes, kmers, hll_build, smh_build, estimators, pairwise, criteria
+
+__all__ = [
+    "hashes",
+    "kmers",
+    "hll_build",
+    "smh_build",
+    "estimators",
+    "pairwise",
+    "criteria",
+]

@@ -1,0 +1,5 @@
+"""Host-side utilities: file formats, FASTA ingest, timing, config."""
+
+from . import formats, fasta, filelist, timer
+
+__all__ = ["formats", "fasta", "filelist", "timer"]

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Differential harness: TPU engine vs scalar host engine
+(parity: run_comparison_experiment.sh:57-113).
+
+Runs the tiled TPU selection and the sequential numpy host engine on the
+same sketch files at a low threshold (the reference compares at tau=0.01 to
+surface many pairs, run_comparison_experiment.sh:62-64), joins on the pair
+key, and reports per-pair |delta sim|. The reference tolerated 1e-6 between
+its CPU and GPU (which used different estimators); our two engines follow
+identical f64 math, so the expected delta is exactly 0.
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-l", dest="list_file", required=True)
+    ap.add_argument("-a", dest="aux_bytes", type=int, default=32)
+    ap.add_argument("-t", dest="tau", type=float, default=0.01)
+    ap.add_argument("-c", dest="criterion", default="smh_a")
+    ap.add_argument("-o", dest="out", default="comparacion_tpu_host.csv")
+    args = ap.parse_args()
+
+    from cuda_selection_criteria_tpu.models import SketchBank
+    from cuda_selection_criteria_tpu.parallel.selection import (
+        SelectionParams, select_pairs,
+    )
+    from cuda_selection_criteria_tpu.utils.filelist import load_file_list
+    from cuda_selection_criteria_tpu.utils import hostref
+
+    files = load_file_list(args.list_file)
+    bank = SketchBank.from_sketch_files(files, criterion=args.criterion,
+                                        aux_bytes=args.aux_bytes)
+    tpu = select_pairs(bank, SelectionParams(tau=args.tau,
+                                             criterion=args.criterion,
+                                             aux_bytes=args.aux_bytes))
+    host = hostref.select_pairs_host(bank, args.tau, args.criterion)
+
+    def key(a, b):
+        return (a, b) if a <= b else (b, a)
+
+    tpu_map = {key(a, b): j for a, b, j in tpu}
+    host_map = {key(a, b): j for a, b, j in host}
+    all_keys = sorted(set(tpu_map) | set(host_map))
+
+    eps = 1e-6
+    n_bad = 0
+    with open(args.out, "w", newline="") as fh:
+        w = csv.writer(fh, delimiter=";")
+        w.writerow(["par", "sim_tpu", "sim_host", "delta", "ok"])
+        for k in all_keys:
+            a = tpu_map.get(k)
+            b = host_map.get(k)
+            if a is None or b is None:
+                n_bad += 1
+                w.writerow(["|".join(k), a, b, "", "MISSING"])
+                continue
+            d = abs(a - b)
+            ok = d <= eps
+            n_bad += 0 if ok else 1
+            w.writerow(["|".join(k), f"{a:.6f}", f"{b:.6f}", f"{d:.2e}",
+                        "OK" if ok else "FAIL"])
+    print(f"pairs={len(all_keys)} mismatches={n_bad} -> {args.out}")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""On-disk format interop: byte-level roundtrips + committed-file reads."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from cuda_selection_criteria_tpu.utils import formats
+from conftest import REFERENCE, reference_available
+
+RNG = np.random.default_rng(3)
+
+
+def test_hll_roundtrip(tmp_path):
+    p = 10
+    core = RNG.integers(0, 52, size=1 << p, dtype=np.uint8)
+    path = str(tmp_path / "x.hll")
+    formats.write_hll(path, p, core)
+    p2, core2, hdr = formats.read_hll(path)
+    assert p2 == p
+    np.testing.assert_array_equal(core, core2)
+    assert hdr["estim"] == formats.ESTIM_ERTL_MLE
+
+
+def test_hll_write_byte_layout(tmp_path):
+    """Header layout must match hll_t::write (hll.h:1103-1111)."""
+    p = 4
+    core = np.arange(16, dtype=np.uint8)
+    path = str(tmp_path / "y.hll")
+    formats.write_hll(path, p, core)
+    raw = gzip.open(path, "rb").read()
+    assert struct.unpack("<4I", raw[:16]) == (0, 2, 2, 1)
+    assert struct.unpack("<I", raw[16:20])[0] == p
+    assert struct.unpack("<d", raw[20:28])[0] == -1.0
+    assert raw[28:] == core.tobytes()
+
+
+def test_smh_roundtrip(tmp_path):
+    h = RNG.integers(0, 1 << 63, size=32, dtype=np.uint64)
+    path = str(tmp_path / "x.smh32")
+    formats.write_smh(path, h)
+    h2 = formats.read_smh(path)
+    np.testing.assert_array_equal(h, h2)
+
+
+def test_smh_write_byte_layout(tmp_path):
+    h = np.array([7, 8, 9, 10], dtype=np.uint64)
+    path = str(tmp_path / "y.smh4")
+    formats.write_smh(path, h)
+    raw = gzip.open(path, "rb").read()
+    assert struct.unpack("<I", raw[:4])[0] == 4
+    assert raw[4:] == h.tobytes()
+
+
+def test_bank_npz_roundtrip(tmp_path):
+    regs = RNG.integers(0, 52, size=(3, 256), dtype=np.uint8)
+    aux = RNG.integers(0, 1 << 63, size=(3, 8), dtype=np.uint64)
+    path = str(tmp_path / "bank.npz")
+    formats.save_bank(path, ["a", "b", "c"], regs, cards=np.ones(3), aux=aux,
+                      aux_kind="smh")
+    loaded = formats.load_bank(path)
+    np.testing.assert_array_equal(loaded["regs"], regs)
+    np.testing.assert_array_equal(loaded["aux"], aux)
+    assert list(loaded["names"]) == ["a", "b", "c"]
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_read_committed_files():
+    files = [
+        line.strip()
+        for line in open(os.path.join(REFERENCE, "test_influeza_filelist.txt"))
+        if line.strip()
+    ]
+    path = os.path.join(REFERENCE, files[0])
+    p, core, hdr = formats.read_hll(path + ".hll")
+    assert p == 14 and core.size == 1 << 14
+    assert hdr["estim"] == formats.ESTIM_ERTL_MLE
+    p8, core8, _ = formats.read_hll(path + ".hll_8")
+    assert p8 == 8 and core8.size == 256
+    h = formats.read_smh(path + ".smh64")
+    assert h.size == 64
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_rewrite_committed_file_identical_payload(tmp_path):
+    """write(read(x)) must produce the same decompressed payload bytes."""
+    files = [
+        line.strip()
+        for line in open(os.path.join(REFERENCE, "test_influeza_filelist.txt"))
+        if line.strip()
+    ]
+    src = os.path.join(REFERENCE, files[0]) + ".hll"
+    p, core, hdr = formats.read_hll(src)
+    dst = str(tmp_path / "re.hll")
+    formats.write_hll(dst, p, core, value=hdr["value"],
+                      is_calculated=hdr["is_calculated"])
+    assert gzip.open(src, "rb").read() == gzip.open(dst, "rb").read()

@@ -1,0 +1,82 @@
+"""THE integration test: reproduce the reference's committed golden output
+(results.txt) bit-for-bit - same pair set, same order, same 6-decimal
+Jaccard strings - from the committed sketch files, for every criterion."""
+
+import os
+
+import pytest
+
+from cuda_selection_criteria_tpu.models import SketchBank
+from cuda_selection_criteria_tpu.parallel.selection import (
+    SelectionParams,
+    select_pairs,
+    format_results,
+)
+from conftest import REFERENCE, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference not mounted"
+)
+
+
+def _files():
+    return [
+        line.strip()
+        for line in open(os.path.join(REFERENCE, "test_influeza_filelist.txt"))
+        if line.strip()
+    ]
+
+
+def _golden_lines():
+    with open(os.path.join(REFERENCE, "results.txt")) as fh:
+        return [line.rstrip("\n") for line in fh if line.strip()]
+
+
+def _run(criterion, aux_bytes, **kw):
+    files = [os.path.join(REFERENCE, f) for f in _files()]
+    bank = SketchBank.from_sketch_files(files, criterion=criterion,
+                                        aux_bytes=aux_bytes)
+    params = SelectionParams(tau=0.9, criterion=criterion,
+                             aux_bytes=aux_bytes, **kw)
+    results = select_pairs(bank, params)
+    # strip the REFERENCE prefix to compare against the committed lines
+    prefix = REFERENCE + "/"
+    lines = [
+        line.replace(prefix, "") for line in format_results(results)
+    ]
+    return lines
+
+
+def test_golden_smh_a_m4():
+    assert _run("smh_a", aux_bytes=32) == _golden_lines()
+
+
+def test_golden_smh_a_m64():
+    assert _run("smh_a", aux_bytes=512) == _golden_lines()
+
+
+def test_golden_hll_a():
+    assert _run("hll_a", aux_bytes=256) == _golden_lines()
+
+
+def test_golden_hll_an():
+    assert _run("hll_an", aux_bytes=256) == _golden_lines()
+
+
+def test_golden_cb_only_superset():
+    """CB alone (plus exact confirm) must also yield the golden pairs: the
+    aux criteria only prune, the confirm step decides."""
+    assert _run("cb", aux_bytes=32) == _golden_lines()
+
+
+def test_golden_baseline_superset():
+    assert _run("baseline", aux_bytes=32) == _golden_lines()
+
+
+def test_small_blocks_tile_boundaries():
+    """Tiny tile size forces multi-tile paths incl. diagonal masks."""
+    assert _run("smh_a", aux_bytes=32, block=3) == _golden_lines()
+
+
+def test_int8_precision_path():
+    assert _run("smh_a", aux_bytes=32, precision="int8") == _golden_lines()
