@@ -118,7 +118,8 @@ def ertl_mle(counts, p, relerr=1e-2, dtype=jnp.float64):
     def z_body(i, z):
         k = q - i  # k runs q..1
         in_range = (k >= k_min_p) & (k <= k_max_p)
-        return jnp.where(in_range, 0.5 * z + col(k), z)
+        ck = jax.lax.dynamic_index_in_dim(c, k, axis=1, keepdims=False)
+        return jnp.where(in_range, 0.5 * z + ck.astype(dtype), z)
 
     z = jax.lax.fori_loop(0, q, z_body, jnp.zeros(c.shape[0], dtype))
     z = ldexp_exact(z, -k_min_p)
@@ -142,6 +143,13 @@ def ertl_mle(counts, p, relerr=1e-2, dtype=jnp.float64):
         x, delta_x, g_prev = state
         return jnp.any(delta_x > x * eps)
 
+    # Static upper bound for the fused inner loops: kappa-1 <= 63 for any
+    # f64 x < 2^64, and kMaxP-1 <= q-1. A static unroll with per-element
+    # masks keeps every element's operation sequence identical to the
+    # reference while letting XLA fuse the whole chain (no dynamic trip
+    # counts, no gathers - the per-step gather was the TPU bottleneck).
+    k_inner_max = 64
+
     def body(state):
         x, delta_x, g_prev = state
         active = delta_x > x * eps
@@ -161,23 +169,28 @@ def ertl_mle(counts, p, relerr=1e-2, dtype=jnp.float64):
         # k in [kMinP, max(kappa-1, kMaxP-1)] descending; g accumulates
         # c[k]*h for k in [kMinP, kMaxP-1] (the second loop's range).
         h_hi = jnp.maximum(kappa_m1, k_max_p - 1)
-        k_start = jnp.max(jnp.where(active, h_hi, 0))
         g = rounded(c_prime * h)
 
         def inner(i, carry):
             h, x_prime, g = carry
-            k = k_start - i  # descends to 1
+            k = k_inner_max - i  # k runs k_inner_max..1, masked per element
             upd = (k <= h_hi) & (k >= k_min_p)
             h_prime = 1.0 - h
             h_new = (x_prime + rounded(h * h_prime)) / (x_prime + h_prime)
             h = jnp.where(upd, h_new, h)
             x_prime = jnp.where(upd, x_prime + x_prime, x_prime)
+            # dynamic column slice (NOT a gather): accumulation is masked to
+            # k <= kMaxP-1 <= q-1, so the clipped index never matters.
+            ck = jax.lax.dynamic_index_in_dim(
+                c, jnp.clip(k, 0, q + 1), axis=1, keepdims=False
+            )
             acc = upd & (k <= k_max_p - 1)
-            ck = c[jnp.arange(c.shape[0]), jnp.clip(k, 0, q + 1)]
-            g = jnp.where(acc, g + rounded(ck * h), g)
+            g = jnp.where(acc, g + rounded(ck.astype(dtype) * h), g)
             return h, x_prime, g
 
-        h, x_prime, g = jax.lax.fori_loop(0, k_start, inner, (h, x_prime, g))
+        h, x_prime, g = jax.lax.fori_loop(
+            0, k_inner_max, inner, (h, x_prime, g)
+        )
         g = g + rounded(x * a)
 
         # NB: deltaX *= (g - mPrime) / (gprev - g) - the division happens
