@@ -1,9 +1,11 @@
 """Headline benchmark: pairwise sketch comparisons/sec/chip.
 
-Runs the flagship fused selection tile (CB mask + smh_a LSH banding + MXU
-HLL-union histograms + batched ERTL-MLE + J >= tau) on synthetic sketch
-banks sized like real genome collections, on whatever backend jax.devices()
-provides (the driver runs this on one real TPU chip).
+Runs the flagship screened selection path - the fused Pallas MXU kernel
+(harmonic-sum / zero-count indicator matmuls, int8 MXU) plus the fused
+gate/estimator postprocess (CB mask + smh_a LSH banding + ORIGINAL-
+estimator Jaccard screen) - over the FULL i<j pair triangle of a
+synthetic sketch bank built through the real device pipeline, on whatever
+backend jax.devices() provides (the driver runs this on one real TPU chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -26,22 +28,20 @@ CUDA_BASELINE_PAIRS_PER_SEC = 2.32e7  # see module docstring
 P = 14
 M_SMH = 32  # aux_bytes=256 default -> m=32 buckets
 TAU = 0.9
-BLOCK = 512
-N_GENOMES = 2048
+TI = 256
+CHUNK = 128
+N_GENOMES = 12288
 ITEMS_PER_GENOME = 4096
 
 
 def _build_bank():
-    import jax
     import jax.numpy as jnp
     from cuda_selection_criteria_tpu.ops import hll_build, smh_build, estimators
 
     rng = np.random.default_rng(0xBE7C)
-    # Build through the real device pipeline in genome batches.
-    regs_parts = []
-    aux_parts = []
-    gbatch = 256
-    for g0 in range(0, N_GENOMES, gbatch):
+    regs_parts, aux_parts = [], []
+    gbatch = 512
+    for _ in range(0, N_GENOMES, gbatch):
         kms = jnp.asarray(
             rng.integers(0, 1 << 63, size=gbatch * ITEMS_PER_GENOME,
                          dtype=np.uint64)
@@ -67,66 +67,69 @@ def _build_bank():
 def main():
     import jax
     import jax.numpy as jnp
-    from functools import partial
-    from cuda_selection_criteria_tpu.ops import criteria, pairwise
+    from cuda_selection_criteria_tpu.ops import criteria, screen
+    from cuda_selection_criteria_tpu.parallel import screened
 
     regs, aux, e = _build_bank()
     order = np.argsort(e, kind="stable")
     regs, aux, e = regs[order], aux[order], e[order]
 
-    n_rows, n_bands = criteria.smh_band_params(M_SMH, TAU)
+    n_rows_b, n_bands = criteria.smh_band_params(M_SMH, TAU)
     tau = criteria.effective_tau(TAU)
+    tau_scr = np.float32(screened.screen_tau(tau))
+    tau_cb = np.float32(tau * (1.0 - 1e-5))
+    v_bins = screen.v_bins_for(regs.max())
+    v_lo = screen.v_lo_for(regs.min())
 
-    # Screen dtype: f32 on accelerators (TPU f64 is emulated; the engine's
-    # margin + host adjudication keeps outputs exact), f64 on CPU.
-    mle_dtype = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
-
-    @partial(jax.jit, static_argnames=())
-    def tile(regs_a, regs_b, aux_a, aux_b, e_a, e_b, idx_a, idx_b):
-        tri = idx_a[:, None] < idx_b[None, :]
-        gate = (
-            tri
-            & (e_b[None, :] != 0)
-            & criteria.cb_mask(e_a, e_b, tau)
-            & criteria.smh_a_mask(aux_a, aux_b, n_rows, n_bands)
-        )
-        jacc, _ = pairwise.pairwise_jaccard(
-            regs_a, regs_b, e_a, e_b, P, mle_dtype=mle_dtype
-        )
-        hits = gate & (jacc >= tau)
-        return hits.sum(), jacc.sum()
-
-    # Device-resident inputs.
+    # Device-resident bank (production holds the bank on-chip across
+    # queries; the upload is not part of the per-query cost).
     d_regs = jnp.asarray(regs)
-    d_aux = jnp.asarray(aux)
-    d_e = jnp.asarray(e)
-    d_idx = jnp.arange(N_GENOMES, dtype=jnp.int64)
+    d_fp = screened.band_fingerprints(jnp.asarray(aux), n_rows_b, n_bands)
+    d_e = jnp.asarray(e.astype(np.float32))
 
-    nb = N_GENOMES // BLOCK
+    nb = N_GENOMES // TI
     tiles = [(i, j) for i in range(nb) for j in range(i, nb)]
+    rows = np.array([t[0] for t in tiles], np.int32)
+    cols = np.array([t[1] for t in tiles], np.int32)
+    n_sched = -(-len(tiles) // CHUNK) * CHUNK
+    rows = np.pad(rows, (0, n_sched - len(tiles)), constant_values=rows[-1])
+    cols = np.pad(cols, (0, n_sched - len(tiles)), constant_values=cols[-1])
 
-    def run_all():
-        outs = []
-        for (i, j) in tiles:
-            sl_i = slice(i * BLOCK, (i + 1) * BLOCK)
-            sl_j = slice(j * BLOCK, (j + 1) * BLOCK)
-            outs.append(
-                tile(
-                    d_regs[sl_i], d_regs[sl_j], d_aux[sl_i], d_aux[sl_j],
-                    d_e[sl_i], d_e[sl_j], d_idx[sl_i], d_idx[sl_j],
-                )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    def sweep(tau_jitter):
+        """One full all-pairs screened pass; returns total screen hits.
+
+        Matches the engine's fetch discipline (parallel/screened.py): all
+        chunks dispatched back-to-back, one small count array fetched, full
+        masks pulled only for chunks that contain candidates.
+        """
+        tau_s = jnp.float32(tau_scr + tau_jitter)
+        pending = []
+        for c0 in range(0, n_sched, CHUNK):
+            r_chunk = rows[c0:c0 + CHUNK]
+            c_chunk = cols[c0:c0 + CHUNK]
+            hits, cnt = screened._screen_chunk(
+                d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk), d_e,
+                d_fp, jnp.int32(N_GENOMES), tau_s, tau_cb, P, v_bins,
+                v_lo, TI, n_bands, True, True,
             )
-        jax.block_until_ready(outs)
-        return outs
+            pending.append((hits, cnt))
+        counts = np.asarray(jnp.stack([c for _, c in pending]))
+        total = 0
+        for (h, _), cnt in zip(pending, counts):
+            if cnt:
+                total += int(np.asarray(h).sum())
+        return total
 
-    run_all()  # warmup/compile
+    sweep(0.0)  # warmup / compile
     reps = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
-        run_all()
+    for k in range(reps):
+        sweep(k * 1e-7)  # jitter defeats any transparent result caching
     dt = (time.perf_counter() - t0) / reps
 
-    pairs = len(tiles) * BLOCK * BLOCK  # full-tile comparisons incl. masked
+    pairs = N_GENOMES * (N_GENOMES - 1) // 2
     pairs_per_sec = pairs / dt
     print(
         json.dumps(

@@ -1,0 +1,182 @@
+"""Fused MXU screening kernel: harmonic sums of pairwise HLL unions.
+
+The exact confirm path (ops/pairwise.py) computes a full 52-bin union
+histogram plus the iterative ERTL-MLE per pair. For *screening* the
+N^2 pair space that is overkill: the Flajolet ORIGINAL estimator
+(reference: include/criteria_sketch_cuda.cuh:30-65 - the estimator the
+reference's own CUDA kernels use for every pair) needs only two scalars
+per pair:
+
+    S[i,j] = sum_r 2^-max(a_ir, b_jr)      (the harmonic sum)
+    Z[i,j] = #{r : max(a_ir, b_jr) == 0}   (the zero-register count)
+
+Both reduce to matrix products over 0/1 indicators. With
+CDF[v] = sum_r [a_ir <= v][b_jr <= v] and vmax an upper bound on every
+register value (so CDF[vmax] == R), the dyadic telescope
+
+    2^-x = 2^-vmax + sum_{v=x}^{vmax-1} 2^-(v+1)        (x <= vmax)
+
+gives
+
+    S = R * 2^-vmax + sum_{v=0}^{vmax-1} 2^-(v+1) * CDF[v],
+    Z = CDF[0].
+
+This Pallas kernel generates the indicator matrices on the fly in VMEM
+(the register bank is read from HBM exactly once per tile) and
+accumulates the weighted matmuls on the MXU - ~2*vmax*2^p bf16 flops
+per pair and no intermediate materialization. The selection engine
+screens with a conservative relative margin delta (ORIGINAL vs ERTL-MLE
+deviation, measured in tests/test_screen.py) and re-confirms survivors
+with the exact estimator, so emitted pairs are bit-identical to the
+reference.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default():
+    return jax.default_backend() != "tpu"
+
+
+def v_bins_for(regs_max):
+    """Static bin-count bucket covering register values <= regs_max.
+
+    Rounded up to a multiple of 4 to bound recompiles; 51 == q+1 at p=14
+    is the absolute ceiling for any input.
+    """
+    return int(min(51, max(8, -(-int(regs_max + 1) // 4) * 4)))
+
+
+def v_lo_for(regs_min):
+    """Static low-bin bucket: CDF[v] == 0 for v < the bank-wide minimum
+    register value, so those matmuls are skipped (large genomes saturate
+    every register past 0). Rounded down to a multiple of 4."""
+    return int(max(0, (int(regs_min) // 4) * 4))
+
+
+@partial(jax.jit, static_argnames=("p", "v_bins", "v_lo", "ti", "tj",
+                                   "r_sub", "precision", "interpret"))
+def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=256,
+               tj=256, r_sub=1024, precision="int8", interpret=None):
+    """Pairwise harmonic sums / zero counts for a list of (row, col) tiles.
+
+    Args:
+      regs: uint8 (N, 2^p) register bank; N must be a multiple of ti and tj,
+        and every register value must be <= v_bins (engine guarantees by
+        picking v_bins from the bank max).
+      row_tiles: int32 (T,) row-block index per tile (units of ti rows).
+      col_tiles: int32 (T,) col-block index per tile (units of tj rows).
+      p: static HLL precision.
+      v_bins: static vmax (weighted CDF matmuls run for v in [v_lo, v_bins)).
+      v_lo: static bank-wide minimum register value (bins below it have
+        CDF == 0; with v_lo > 0 the union has no zero registers and Z is
+        exactly 0).
+
+    Returns:
+      (S, Z): float32 (T, ti, tj) harmonic sums and zero-register counts.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    r_total = 1 << p
+    r_sub = min(r_sub, r_total)
+    n_r = r_total // r_sub
+    n_tiles = row_tiles.shape[0]
+    weights = [np.float32(np.ldexp(1.0, -(v + 1))) for v in range(v_bins)]
+    tail = np.float32(np.ldexp(float(r_total), -v_bins))
+
+    def kernel(row_ref, col_ref, a_ref, b_ref, s_ref, z_ref):
+        r = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _():
+            s_ref[:] = jnp.zeros_like(s_ref)
+            z_ref[:] = jnp.zeros_like(z_ref)
+
+        # int32 compares (v5e Mosaic supports neither 8-bit nor bf16 vector
+        # compares); indicators are exact 0/1 whatever the matmul dtype.
+        # The per-bin weights apply OUTSIDE the matmul, so the MXU runs at
+        # int8 rate (2x bf16 on v5e) with exact int32 count accumulation.
+        a = a_ref[:].astype(jnp.int32)  # (ti, r_sub)
+        b = b_ref[:].astype(jnp.int32)
+        acc = jnp.zeros((ti, tj), jnp.float32)
+        zacc = jnp.zeros((ti, tj), jnp.float32)
+        for v in range(v_lo, v_bins):
+            if precision == "int8":
+                ia = (a <= v).astype(jnp.int8)
+                ib = (b <= v).astype(jnp.int8)
+                acc_dt = jnp.int32
+            else:
+                ia = (a <= v).astype(jnp.float32).astype(jnp.bfloat16)
+                ib = (b <= v).astype(jnp.float32).astype(jnp.bfloat16)
+                acc_dt = jnp.float32
+            d = jax.lax.dot_general(
+                ia, ib, (((1,), (1,)), ((), ())),
+                preferred_element_type=acc_dt,
+            ).astype(jnp.float32)
+            acc = acc + weights[v] * d
+            if v == 0:
+                zacc = d
+        s_ref[:] += acc
+        z_ref[:] += zacc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_r),
+        in_specs=[
+            pl.BlockSpec(
+                (ti, r_sub),
+                lambda t, r, rows, cols: (rows[t].astype(jnp.int32), r),
+            ),
+            pl.BlockSpec(
+                (tj, r_sub),
+                lambda t, r, rows, cols: (cols[t].astype(jnp.int32), r),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, ti, tj),
+                lambda t, r, rows, cols: (t, jnp.int32(0), jnp.int32(0)),
+            ),
+            pl.BlockSpec(
+                (1, ti, tj),
+                lambda t, r, rows, cols: (t, jnp.int32(0), jnp.int32(0)),
+            ),
+        ],
+    )
+    s, z = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, ti, tj), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, ti, tj), jnp.float32),
+        ],
+        interpret=interpret,
+    )(row_tiles, col_tiles, regs, regs)
+    return s + tail, z
+
+
+def original_from_s_z(s, z, p):
+    """Flajolet ORIGINAL union-cardinality estimate from (S, Z), f32.
+
+    Elementwise twin of estimators.original_estimate
+    (reference: include/criteria_sketch_cuda.cuh:30-65) for the screen path.
+    """
+    from .estimators import make_alpha
+
+    m = 1 << p
+    alpha = np.float32(make_alpha(m))
+    raw = alpha * np.float32(m) * np.float32(m) / s
+    two32 = np.float32(2.0**32)
+    lin = np.float32(m) * jnp.log(np.float32(m) / jnp.maximum(z, 1.0))
+    large = -two32 * jnp.log1p(-raw / two32)
+    return jnp.where(
+        (raw < 2.5 * m) & (z > 0),
+        lin,
+        jnp.where(raw > two32 / 30.0, large, raw),
+    )

@@ -1,0 +1,244 @@
+"""Screened all-pairs selection engine (the TPU flagship hot path).
+
+Three-stage cascade, mirroring the reference's prune-then-confirm design
+(src/selection.cpp:270-291) but restructured for the MXU and for the
+host<->device latency profile of real deployments:
+
+  1. SCHEDULE (host): sort by cardinality, tile the i<j triangle, drop
+     tiles the block-level cardinality bound kills (parallel.scheduler).
+  2. SCREEN (device, one dispatch per tile chunk): the fused Pallas kernel
+     (ops/screen.py) computes per-pair harmonic sums / zero counts; the
+     ORIGINAL-estimator Jaccard, the CB gate, and the criterion gate are
+     applied in the same jit with conservative margins. Everything here is
+     a *superset* filter: no pair the reference would emit can be dropped
+     (margins validated in tests/test_screen.py).
+  3. CONFIRM (host, exact): every surviving candidate is re-evaluated by
+     the scalar f64 oracle (utils/hostref.PairOracle) - the exact
+     reference cascade (CB, aux criterion, ERTL-MLE union, J >= tau) - so
+     the emitted pair set and Jaccard values are bit-identical to the
+     reference on every backend.
+
+The screen-vs-exact margin: the ORIGINAL estimator (what the reference's
+own GPU kernels use for *final* answers - include/criteria_sketch_cuda.cuh:30-65)
+deviates from ERTL-MLE by a small deterministic amount; `delta` bounds that
+relative deviation (measured ~2.5e-2 worst-case at p=14 over the full
+cardinality range; default 0.08 is > 3x that). Screening at
+tau_scr = (1+tau)/(1+delta) - 1 therefore passes every pair with
+J_mle >= tau.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import criteria, screen
+from ..utils.hostref import PairOracle
+from . import scheduler
+
+SCREEN_DELTA_DEFAULT = 0.08
+
+
+def screen_tau(tau, delta=SCREEN_DELTA_DEFAULT):
+    """Conservative screen threshold: J_orig >= screen_tau(tau) whenever
+    J_mle >= tau, given |t_orig/t_mle - 1| <= delta."""
+    return (1.0 + float(tau)) / (1.0 + float(delta)) - 1.0
+
+
+def band_fingerprints(aux, n_rows, n_bands):
+    """int32 (N, n_bands) FNV-mix fingerprints of the LSH bands.
+
+    Band equality implies fingerprint equality, so screening on
+    fingerprints is a superset of the exact smh_a gate (collisions are
+    rare false positives absorbed by the exact confirmation); one i32
+    compare per band replaces n_rows emulated-u64 compares per pair.
+    """
+    aux = jnp.asarray(aux, jnp.uint64)
+    lo = (aux & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (aux >> 32).astype(jnp.uint32)
+    limbs = jnp.stack([lo, hi], -1).reshape(
+        aux.shape[0], n_bands, n_rows * 2
+    )
+    fp = jnp.full(limbs.shape[:2], 2166136261, jnp.uint32)
+    for k in range(n_rows * 2):
+        fp = (fp ^ limbs[..., k]) * jnp.uint32(16777619)
+    return fp.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("p", "v_bins", "v_lo", "ti", "n_bands",
+                                   "use_cb", "use_smh"))
+def _screen_chunk(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
+                  p, v_bins, v_lo, ti, n_bands, use_cb, use_smh):
+    """One fused dispatch: Pallas screen kernel + gates + count."""
+    from ..ops.screen import screen_s_z
+
+    s, z = screen_s_z(regs, r_tiles, c_tiles, p, v_bins, v_lo=v_lo,
+                      ti=ti, tj=ti)
+    hits = _screen_post(
+        s, z, e, fp, r_tiles * ti, c_tiles * ti, n_real, tau_scr, tau_cb,
+        p, n_bands, ti, ti, use_cb, use_smh,
+    )
+    return hits, jnp.sum(hits, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("p", "n_bands", "ti", "tj", "use_cb",
+                                   "use_smh"))
+def _screen_post(s, z, e, fp, row0, col0, n_real, tau_scr, tau_cb, p,
+                 n_bands, ti, tj, use_cb, use_smh):
+    """Gates + ORIGINAL-estimator Jaccard screen over a chunk of tiles.
+
+    Every comparison is a conservative superset of the exact cascade
+    (margins folded into tau_scr / tau_cb; fingerprint collisions and
+    regime unions only ADD candidates); survivors go to exact host
+    confirmation. The estimator screen J_orig >= tau_scr is evaluated
+    without per-pair division or transcendentals:
+
+      raw branch:  alpha*m^2/S <= t_max  <=>  S*(e1+e2) >= alpha*m^2*(1+tau_scr)
+      lin branch:  m*log(m/Z) <= t_max   <=>  Z >= m*exp(-(e1+e2)/((1+tau')*m))
+                                           =  m * u[i] * u[j]   (separable!)
+      large branch: always >= raw, so the raw condition covers it.
+
+    with t_max = (e1+e2)/(1+tau_scr) and u[x] = exp(-e[x]/((1+tau')*m)).
+    """
+    from .. import ops
+
+    m = 1 << p
+    alpha = np.float32(ops.estimators.make_alpha(m))
+    one_tau = np.float32(1.0) + tau_scr.astype(jnp.float32)
+
+    ii = row0[:, None] + jnp.arange(ti, dtype=jnp.int32)[None, :]  # (T, ti)
+    jj = col0[:, None] + jnp.arange(tj, dtype=jnp.int32)[None, :]  # (T, tj)
+    e_a = e[ii]  # (T, ti) f32
+    e_b = e[jj]
+    u_a = jnp.exp(-e_a / (one_tau * m))  # (T, ti) - rows only
+    u_b = jnp.exp(-e_b / (one_tau * m))
+
+    e_sum = e_a[:, :, None] + e_b[:, None, :]
+    raw_cond = s * e_sum >= alpha * np.float32(m) * np.float32(m) * one_tau
+    lin_cond = (z > 0) & (z >= m * u_a[:, :, None] * u_b[:, None, :])
+    hits = raw_cond | lin_cond
+
+    hits &= (ii[:, :, None] < jj[:, None, :]) & (jj[:, None, :] < n_real)
+    hits &= e_b[:, None, :] > 0
+    if use_cb:
+        hits &= e_a[:, :, None] >= tau_cb * e_b[:, None, :]
+    if use_smh:
+        fp_a = fp[ii]  # (T, ti, n_bands) int32
+        fp_b = fp[jj]
+        band_hit = fp_a[:, :, None, 0] == fp_b[:, None, :, 0]
+        for band in range(1, n_bands):
+            band_hit |= fp_a[:, :, None, band] == fp_b[:, None, :, band]
+        hits &= band_hit
+    return hits
+
+
+def select_pairs_screened(bank, params, ti=256, chunk=64):
+    """All-pairs selection via the fused Pallas screen + exact confirmation.
+
+    Supports criteria: smh_a, smh_only, cb, baseline (hll_a/hll_an use the
+    dense engine in parallel.selection). Returns reference-ordered
+    [(name_i, name_j, jacc)], bit-identical to the reference CPU path.
+    """
+    crit = params.criterion
+    if crit not in ("smh_a", "smh_only", "cb", "baseline"):
+        raise ValueError(f"screened engine does not support criterion {crit!r}")
+    n = bank.n
+    if n < 2:
+        return []
+
+    tau = params.tau_eff
+    use_cb = crit not in ("baseline", "smh_only")
+    use_smh = crit in ("smh_a", "smh_only")
+
+    order = bank.sorted_by_cardinality()
+    e_s = np.trunc(bank.cards[order])
+    regs_s = bank.regs[order]
+    aux_s = bank.aux[order] if bank.aux is not None else None
+
+    # Pad the sorted bank to a tile multiple; padded rows have e == 0 and
+    # are masked out by the n_real / e_b > 0 gates.
+    n_pad = -(-n // ti) * ti
+    if n_pad != n:
+        regs_p = np.zeros((n_pad, regs_s.shape[1]), np.uint8)
+        regs_p[:n] = regs_s
+        e_p = np.zeros(n_pad, e_s.dtype)
+        e_p[:n] = e_s
+        if aux_s is not None:
+            aux_p = np.zeros((n_pad, aux_s.shape[1]), aux_s.dtype)
+            aux_p[:n] = aux_s
+        else:
+            aux_p = None
+    else:
+        regs_p, e_p, aux_p = regs_s, e_s, aux_s
+
+    tiles = scheduler.triangle_blocks(e_p[:n], tau, ti, use_cb_skip=use_cb)
+    if not tiles:
+        return []
+    rows = np.array([r0 // ti for (r0, _), _ in tiles], np.int32)
+    cols = np.array([c0 // ti for _, (c0, _) in tiles], np.int32)
+
+    if use_smh:
+        n_rows_b, n_bands = criteria.smh_band_params(bank.aux_param, params.tau)
+        d_fp = band_fingerprints(jnp.asarray(aux_p), n_rows_b, n_bands)
+    else:
+        n_rows_b, n_bands = 1, 1
+        d_fp = jnp.zeros((n_pad, 1), jnp.int32)
+
+    d_regs = jnp.asarray(regs_p)
+    d_e = jnp.asarray(e_p.astype(np.float32))
+    v_bins = screen.v_bins_for(regs_s.max() if n else 1)
+    v_lo = screen.v_lo_for(regs_s.min() if n else 0)
+    tau_scr = np.float32(screen_tau(tau, params.screen_delta))
+    # CB margin: the screen divides in f32; relax by 1e-5 relative and let
+    # the oracle apply the exact f64 comparison.
+    tau_cb = np.float32(tau * (1.0 - 1e-5))
+
+    # Pad the live-tile list to a chunk multiple with repeats of the last
+    # tile (duplicate results are deduped below) so every dispatch reuses
+    # one compiled shape.
+    n_live = len(rows)
+    chunk = min(chunk, n_live)
+    n_sched = -(-n_live // chunk) * chunk
+    rows = np.pad(rows, (0, n_sched - n_live), constant_values=rows[-1])
+    cols = np.pad(cols, (0, n_sched - n_live), constant_values=cols[-1])
+
+    # Dispatch every chunk before fetching any result: the device pipelines
+    # the screen kernels back-to-back. Then fetch ONE small array of
+    # per-chunk hit counts, and pull full hit masks only for the (rare)
+    # chunks that actually contain candidates - the N^2 mask bytes never
+    # cross the host link.
+    pending = []
+    for c0 in range(0, n_sched, chunk):
+        r_chunk = rows[c0:c0 + chunk]
+        c_chunk = cols[c0:c0 + chunk]
+        hits, cnt = _screen_chunk(
+            d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk), d_e, d_fp,
+            jnp.int32(n), tau_scr, tau_cb, bank.p, v_bins, v_lo, ti,
+            n_bands, use_cb, use_smh,
+        )
+        pending.append((r_chunk, c_chunk, hits, cnt))
+
+    counts = np.asarray(jnp.stack([c for _, _, _, c in pending]))
+    cand = []
+    for (r_chunk, c_chunk, hits, _), cnt in zip(pending, counts):
+        if not cnt:
+            continue
+        tt, ri, cj = np.nonzero(np.asarray(hits))
+        gi = r_chunk[tt] * ti + ri
+        gj = c_chunk[tt] * ti + cj
+        cand.extend(zip(gi.tolist(), gj.tolist()))
+
+    cand = sorted(set(cand))
+    oracle = PairOracle(
+        bank.p, regs_s, e_s, aux=aux_s, aux_param=bank.aux_param,
+        criterion=crit, tau=params.tau, z_score=params.z_score,
+        order_n=params.order_n, apply_cb=use_cb,
+    )
+    names = bank.names
+    out = []
+    for i, j in cand:
+        selected, jacc = oracle.evaluate(i, j)
+        if selected:
+            out.append((names[order[i]], names[order[j]], jacc))
+    return out

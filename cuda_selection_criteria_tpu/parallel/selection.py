@@ -60,6 +60,14 @@ class SelectionParams:
     # (bit-exact even without adjudication) and f32 on accelerators (fast;
     # ~1e-6 accurate, covered by margin + adjudication).
     screen_dtype: str = "auto"
+    # ORIGINAL-vs-MLE relative deviation bound for the fused Pallas screen
+    # engine (parallel.screened); see tests/test_screen.py for the
+    # measured worst case (~2.5e-2 at p=14).
+    screen_delta: float = 0.08
+    # Engine choice: "auto" uses the fused Pallas screen engine on
+    # accelerator backends for the criteria it supports and this dense
+    # engine otherwise; "dense" / "screened" force one.
+    engine: str = "auto"
 
     def resolve_dtype(self):
         import jax
@@ -169,6 +177,22 @@ def select_pairs(bank, params):
     n = bank.n
     if n < 2:
         return []
+
+    engine = params.engine
+    if engine == "auto":
+        supported = params.criterion in ("smh_a", "smh_only", "cb", "baseline")
+        on_accel = jax.default_backend() != "cpu"
+        # The screened engine always finishes with exact host adjudication.
+        engine = (
+            "screened"
+            if supported and on_accel and params.adjudicate
+            else "dense"
+        )
+    if engine == "screened":
+        from .screened import select_pairs_screened  # noqa: PLC0415 (cycle)
+
+        return select_pairs_screened(bank, params)
+
     tau = params.tau_eff
     # Device screen threshold: relaxed by the margin; candidates are
     # re-adjudicated exactly on the host below.

@@ -1,0 +1,172 @@
+"""Tests for the fused Pallas screen kernel and the screened engine.
+
+Covers (SURVEY.md section 4 test pyramid):
+  * bit-level exactness of the harmonic-sum / zero-count kernel vs numpy;
+  * the v_lo bin-skip optimization;
+  * the ORIGINAL-estimator screen vs the exact ERTL-MLE: measured
+    deviation bound that justifies SCREEN_DELTA_DEFAULT;
+  * end-to-end: screened engine == sequential host reference engine
+    (the control-flow twin of src/selection.cpp:152-291).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cuda_selection_criteria_tpu.ops import screen, estimators, hll_build, smh_build
+from cuda_selection_criteria_tpu.parallel.screened import (
+    SCREEN_DELTA_DEFAULT,
+    select_pairs_screened,
+    screen_tau,
+)
+from cuda_selection_criteria_tpu.parallel.selection import SelectionParams
+from cuda_selection_criteria_tpu.models.bank import SketchBank
+from cuda_selection_criteria_tpu.utils.hostref import select_pairs_host
+from tests import refmodels
+
+
+def _ref_s_z(ra, rb):
+    mx = np.maximum(ra[:, None, :], rb[None, :, :]).astype(np.int64)
+    return np.ldexp(1.0, -mx).sum(-1), (mx == 0).sum(-1)
+
+
+def test_screen_s_z_matches_numpy():
+    p, r = 8, 256
+    rng = np.random.default_rng(11)
+    regs = rng.integers(0, 13, size=(512, r), dtype=np.uint8)
+    vb = screen.v_bins_for(regs.max())
+    rows = jnp.asarray(np.array([0, 0, 1], np.int32))
+    cols = jnp.asarray(np.array([0, 1, 1], np.int32))
+    s, z = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vb)
+    s, z = np.asarray(s), np.asarray(z)
+    for t, (bi, bj) in enumerate([(0, 0), (0, 1), (1, 1)]):
+        s_ref, z_ref = _ref_s_z(
+            regs[bi * 256:(bi + 1) * 256], regs[bj * 256:(bj + 1) * 256]
+        )
+        np.testing.assert_allclose(s[t], s_ref, rtol=1e-6)
+        np.testing.assert_array_equal(z[t], z_ref)
+
+
+def test_screen_v_lo_skip_is_exact():
+    p, r = 8, 256
+    rng = np.random.default_rng(5)
+    regs = rng.integers(9, 19, size=(256, r), dtype=np.uint8)  # min >= 9
+    vb = screen.v_bins_for(regs.max())
+    v_lo = screen.v_lo_for(regs.min())
+    assert v_lo >= 4
+    rows = jnp.asarray(np.array([0], np.int32))
+    cols = jnp.asarray(np.array([0], np.int32))
+    s_full, _ = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vb, v_lo=0)
+    s_skip, z_skip = screen.screen_s_z(
+        jnp.asarray(regs), rows, cols, p, vb, v_lo=v_lo
+    )
+    np.testing.assert_allclose(np.asarray(s_skip), np.asarray(s_full),
+                               rtol=1e-6)
+    assert np.all(np.asarray(z_skip) == 0.0)
+
+
+def test_original_from_s_z_matches_original_estimate():
+    p = 10
+    rng = np.random.default_rng(3)
+    regs = rng.integers(0, 16, size=(64, 1 << p), dtype=np.uint8)
+    mx = np.maximum(regs[:32, None, :], regs[None, 32:, :])
+    counts = np.stack([
+        np.bincount(row, minlength=64 - p + 2)[: 64 - p + 2]
+        for row in mx.reshape(-1, 1 << p)
+    ]).reshape(32, 32, -1)
+    want = np.asarray(estimators.original_estimate(jnp.asarray(counts), p))
+    s = np.ldexp(1.0, -mx.astype(np.int64)).sum(-1)
+    z = (mx == 0).sum(-1).astype(np.float64)
+    got = np.asarray(
+        screen.original_from_s_z(
+            jnp.asarray(s, jnp.float32), jnp.asarray(z, jnp.float32), p
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def _simulate_registers(n_items, p, rng, trials):
+    """Register values of an HLL(p) after n_items uniform hashes, sampled
+    exactly: each register sees K ~ Binomial(n, 1/m) items and its value is
+    the max of K Geometric(1/2) ranks, capped at q + 1."""
+    m = 1 << p
+    q = 64 - p
+    ks = rng.binomial(n_items, 1.0 / m, size=(trials, m))
+    u = rng.random((trials, m))
+    with np.errstate(divide="ignore"):
+        # P(reg <= v) = (1 - 2^-v)^K  =>  reg = ceil(-log2(1 - u^(1/K)))
+        vals = np.ceil(-np.log2(1.0 - u ** (1.0 / np.maximum(ks, 1))))
+    vals = np.where(ks == 0, 0.0, np.clip(vals, 1, q + 1))
+    return vals.astype(np.uint8)
+
+
+@pytest.mark.parametrize("p", [10, 14])
+def test_screen_delta_bounds_original_vs_mle(p):
+    """|t_ORIGINAL / t_MLE - 1| stays well inside SCREEN_DELTA_DEFAULT over
+    the full cardinality range (both estimators see identical histograms,
+    so this is the deterministic deviation the screen margin must cover)."""
+    rng = np.random.default_rng(99)
+    q = 64 - p
+    worst = 0.0
+    for n_items in [10, 100, 1000, 10**4, 4 * 10**4, 10**5, 10**6, 10**8]:
+        regs = _simulate_registers(n_items, p, rng, trials=8)
+        counts = np.stack([
+            np.bincount(row, minlength=q + 2)[: q + 2] for row in regs
+        ])
+        t_mle = np.asarray(estimators.ertl_mle(jnp.asarray(counts), p))
+        s = np.ldexp(1.0, -regs.astype(np.int64)).sum(-1)
+        z = counts[:, 0].astype(np.float64)
+        t_orig = np.asarray(
+            screen.original_from_s_z(
+                jnp.asarray(s, jnp.float32), jnp.asarray(z, jnp.float32), p
+            )
+        )
+        ok = np.isfinite(t_mle) & (t_mle > 0)
+        dev = np.max(np.abs(t_orig[ok] / t_mle[ok] - 1.0))
+        worst = max(worst, float(dev))
+    # Default margin is > 2x the worst observed deterministic deviation.
+    assert worst < SCREEN_DELTA_DEFAULT / 2, worst
+
+
+def test_screen_tau_is_conservative():
+    tau = 0.9
+    delta = 0.08
+    t_mle = 1000.0
+    e_sum = (1 + tau) * t_mle  # exactly at the J == tau boundary
+    t_orig = t_mle * (1 + delta)  # worst allowed overestimate
+    j_orig = (e_sum - t_orig) / t_orig
+    assert j_orig >= screen_tau(tau, delta) - 1e-12
+
+
+def _make_bank(n, p, m, rng, pool_size=8000):
+    pool = rng.integers(0, 1 << 63, size=pool_size, dtype=np.uint64)
+    regs, aux = [], []
+    for _ in range(n):
+        k = int(rng.integers(300, 2500))
+        items = jnp.asarray(rng.choice(pool, size=k, replace=False))
+        valid = jnp.ones(items.shape, bool)
+        gid = jnp.zeros(items.shape, np.int32)
+        regs.append(np.asarray(hll_build.hll_build_batch(items, valid, gid, p, 1))[0])
+        aux.append(np.asarray(smh_build.smh_build_batch(items, valid, gid, m, 1))[0])
+    regs = np.stack(regs)
+    aux = np.stack(aux)
+    cards = np.asarray(estimators.ertl_mle_from_regs(jnp.asarray(regs), p))
+    names = [f"g{i:03d}" for i in range(n)]
+    return SketchBank(names=names, p=p, regs=regs, cards=cards, aux=aux,
+                      aux_kind="smh", aux_param=m)
+
+
+@pytest.mark.parametrize("crit,tau", [
+    ("smh_a", 0.2), ("cb", 0.2), ("baseline", 0.3), ("smh_only", 0.2),
+])
+def test_screened_engine_matches_host(crit, tau):
+    rng = np.random.default_rng(17)
+    bank = _make_bank(20, 10, 16, rng)
+    params = SelectionParams(tau=tau, criterion=crit, block=64)
+    host = select_pairs_host(
+        bank, tau, crit, apply_cb=(crit not in ("baseline", "smh_only"))
+    )
+    got = select_pairs_screened(bank, params, ti=256, chunk=4)
+    assert [(a, b, round(j, 12)) for a, b, j in host] == [
+        (a, b, round(j, 12)) for a, b, j in got
+    ]
