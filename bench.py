@@ -28,10 +28,10 @@ CUDA_BASELINE_PAIRS_PER_SEC = 2.32e7  # see module docstring
 P = 14
 M_SMH = 32  # aux_bytes=256 default -> m=32 buckets
 TAU = 0.9
-TI = 256
+TI = 512
 CHUNK = 128
 N_GENOMES = 12288
-ITEMS_PER_GENOME = 4096
+ITEMS_PER_GENOME = 2048
 
 
 def _build_bank():

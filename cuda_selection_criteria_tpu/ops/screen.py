@@ -75,11 +75,12 @@ def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=256,
       p: static HLL precision.
       v_bins: static vmax (weighted CDF matmuls run for v in [v_lo, v_bins)).
       v_lo: static bank-wide minimum register value (bins below it have
-        CDF == 0; with v_lo > 0 the union has no zero registers and Z is
-        exactly 0).
+        CDF == 0; with v_lo > 0 the union has no zero registers and the Z
+        output is omitted entirely).
 
     Returns:
-      (S, Z): float32 (T, ti, tj) harmonic sums and zero-register counts.
+      (S, Z): float32 (T, ti, tj) harmonic sums and zero-register counts;
+      Z is None when v_lo > 0 (it would be identically zero).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -89,23 +90,26 @@ def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=256,
     n_tiles = row_tiles.shape[0]
     weights = [np.float32(np.ldexp(1.0, -(v + 1))) for v in range(v_bins)]
     tail = np.float32(np.ldexp(float(r_total), -v_bins))
+    emit_z = v_lo == 0
 
-    def kernel(row_ref, col_ref, a_ref, b_ref, s_ref, z_ref):
+    def kernel(row_ref, col_ref, a_ref, b_ref, s_ref, *maybe_z):
         r = pl.program_id(1)
 
         @pl.when(r == 0)
         def _():
             s_ref[:] = jnp.zeros_like(s_ref)
-            z_ref[:] = jnp.zeros_like(z_ref)
+            if emit_z:
+                maybe_z[0][:] = jnp.zeros_like(maybe_z[0])
 
         # int32 compares (v5e Mosaic supports neither 8-bit nor bf16 vector
         # compares); indicators are exact 0/1 whatever the matmul dtype.
         # The per-bin weights apply OUTSIDE the matmul, so the MXU runs at
         # int8 rate (2x bf16 on v5e) with exact int32 count accumulation.
+        # Accumulation goes straight into the VMEM-resident output blocks -
+        # no scratch accumulators, keeping the 16 MB VMEM budget for the
+        # register blocks.
         a = a_ref[:].astype(jnp.int32)  # (ti, r_sub)
         b = b_ref[:].astype(jnp.int32)
-        acc = jnp.zeros((ti, tj), jnp.float32)
-        zacc = jnp.zeros((ti, tj), jnp.float32)
         for v in range(v_lo, v_bins):
             if precision == "int8":
                 ia = (a <= v).astype(jnp.int8)
@@ -119,12 +123,15 @@ def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=256,
                 ia, ib, (((1,), (1,)), ((), ())),
                 preferred_element_type=acc_dt,
             ).astype(jnp.float32)
-            acc = acc + weights[v] * d
-            if v == 0:
-                zacc = d
-        s_ref[:] += acc
-        z_ref[:] += zacc
+            s_ref[:] += weights[v] * d
+            if v == 0 and emit_z:
+                maybe_z[0][:] += d
 
+    out_spec = pl.BlockSpec(
+        (1, ti, tj),
+        lambda t, r, rows, cols: (t, jnp.int32(0), jnp.int32(0)),
+    )
+    out_shape = jax.ShapeDtypeStruct((n_tiles, ti, tj), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles, n_r),
@@ -138,27 +145,17 @@ def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=256,
                 lambda t, r, rows, cols: (cols[t].astype(jnp.int32), r),
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, ti, tj),
-                lambda t, r, rows, cols: (t, jnp.int32(0), jnp.int32(0)),
-            ),
-            pl.BlockSpec(
-                (1, ti, tj),
-                lambda t, r, rows, cols: (t, jnp.int32(0), jnp.int32(0)),
-            ),
-        ],
+        out_specs=[out_spec, out_spec] if emit_z else [out_spec],
     )
-    s, z = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, ti, tj), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, ti, tj), jnp.float32),
-        ],
+        out_shape=[out_shape, out_shape] if emit_z else [out_shape],
         interpret=interpret,
     )(row_tiles, col_tiles, regs, regs)
-    return s + tail, z
+    if emit_z:
+        return out[0] + tail, out[1]
+    return out[0] + tail, None
 
 
 def original_from_s_z(s, z, p):
@@ -166,6 +163,7 @@ def original_from_s_z(s, z, p):
 
     Elementwise twin of estimators.original_estimate
     (reference: include/criteria_sketch_cuda.cuh:30-65) for the screen path.
+    z=None means "no zero registers anywhere" (the v_lo > 0 fast path).
     """
     from .estimators import make_alpha
 
@@ -173,10 +171,9 @@ def original_from_s_z(s, z, p):
     alpha = np.float32(make_alpha(m))
     raw = alpha * np.float32(m) * np.float32(m) / s
     two32 = np.float32(2.0**32)
-    lin = np.float32(m) * jnp.log(np.float32(m) / jnp.maximum(z, 1.0))
     large = -two32 * jnp.log1p(-raw / two32)
-    return jnp.where(
-        (raw < 2.5 * m) & (z > 0),
-        lin,
-        jnp.where(raw > two32 / 30.0, large, raw),
-    )
+    out = jnp.where(raw > two32 / 30.0, large, raw)
+    if z is None:
+        return out
+    lin = np.float32(m) * jnp.log(np.float32(m) / jnp.maximum(z, 1.0))
+    return jnp.where((raw < 2.5 * m) & (z > 0), lin, out)

@@ -115,9 +115,9 @@ def _screen_post(s, z, e, fp, row0, col0, n_real, tau_scr, tau_cb, p,
     u_b = jnp.exp(-e_b / (one_tau * m))
 
     e_sum = e_a[:, :, None] + e_b[:, None, :]
-    raw_cond = s * e_sum >= alpha * np.float32(m) * np.float32(m) * one_tau
-    lin_cond = (z > 0) & (z >= m * u_a[:, :, None] * u_b[:, None, :])
-    hits = raw_cond | lin_cond
+    hits = s * e_sum >= alpha * np.float32(m) * np.float32(m) * one_tau
+    if z is not None:  # v_lo == 0: the linear-counting branch can fire
+        hits |= (z > 0) & (z >= m * u_a[:, :, None] * u_b[:, None, :])
 
     hits &= (ii[:, :, None] < jj[:, None, :]) & (jj[:, None, :] < n_real)
     hits &= e_b[:, None, :] > 0
@@ -133,7 +133,7 @@ def _screen_post(s, z, e, fp, row0, col0, n_real, tau_scr, tau_cb, p,
     return hits
 
 
-def select_pairs_screened(bank, params, ti=256, chunk=64):
+def select_pairs_screened(bank, params, ti=512, chunk=64):
     """All-pairs selection via the fused Pallas screen + exact confirmation.
 
     Supports criteria: smh_a, smh_only, cb, baseline (hll_a/hll_an use the
@@ -230,6 +230,137 @@ def select_pairs_screened(bank, params, ti=256, chunk=64):
         cand.extend(zip(gi.tolist(), gj.tolist()))
 
     cand = sorted(set(cand))
+    oracle = PairOracle(
+        bank.p, regs_s, e_s, aux=aux_s, aux_param=bank.aux_param,
+        criterion=crit, tau=params.tau, z_score=params.z_score,
+        order_n=params.order_n, apply_cb=use_cb,
+    )
+    names = bank.names
+    out = []
+    for i, j in cand:
+        selected, jacc = oracle.evaluate(i, j)
+        if selected:
+            out.append((names[order[i]], names[order[j]], jacc))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip sharding: tile-list data parallelism over a ("rows",) mesh axis
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_screen_step(mesh, p, v_bins, v_lo, ti, n_bands, use_cb,
+                             use_smh):
+    """Build the jitted multi-device screened step.
+
+    The live-tile list is the unit of data parallelism: each device owns a
+    strip of tiles (P("rows")) and screens it against the replicated
+    register bank with the same fused Pallas kernel as the single-chip
+    engine. No collectives are needed in the screen itself - survivors are
+    independent per tile - so scaling is embarrassingly parallel over ICI;
+    only the tiny per-device count vector is gathered.
+
+    Bank replication is the right trade up to ~500k genomes (16 KiB/genome);
+    beyond that, shard the column bank and ring-rotate blocks (ppermute) -
+    see parallel/mesh.py for the register-sharded CDF variant.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def step(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb):
+        hits, cnt = _screen_chunk(
+            regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
+            p, v_bins, v_lo, ti, n_bands, use_cb, use_smh,
+        )
+        return hits, cnt[None]  # rank-1 so counts concatenate over "rows"
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),  # regs: replicated bank
+            P("rows"),  # r_tiles strip
+            P("rows"),  # c_tiles strip
+            P(None),  # e
+            P(None, None),  # fp
+            P(),  # n_real
+            P(),  # tau_scr
+            P(),  # tau_cb
+        ),
+        out_specs=(P("rows"), P("rows")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def select_pairs_screened_sharded(bank, params, mesh=None, ti=512):
+    """Multi-device screened all-pairs selection (same exact-output contract
+    as select_pairs_screened; tiles sharded across the mesh "rows" axis)."""
+    from jax.sharding import Mesh
+
+    if mesh is None:
+        devices = np.array(jax.devices())
+        mesh = Mesh(devices.reshape(len(devices)), axis_names=("rows",))
+    crit = params.criterion
+    if crit not in ("smh_a", "smh_only", "cb", "baseline"):
+        raise ValueError(f"screened engine does not support criterion {crit!r}")
+    n = bank.n
+    if n < 2:
+        return []
+
+    tau = params.tau_eff
+    use_cb = crit not in ("baseline", "smh_only")
+    use_smh = crit in ("smh_a", "smh_only")
+
+    order = bank.sorted_by_cardinality()
+    e_s = np.trunc(bank.cards[order])
+    regs_s = bank.regs[order]
+    aux_s = bank.aux[order] if bank.aux is not None else None
+
+    n_pad = -(-n // ti) * ti
+    regs_p = np.zeros((n_pad, regs_s.shape[1]), np.uint8)
+    regs_p[:n] = regs_s
+    e_p = np.zeros(n_pad, e_s.dtype)
+    e_p[:n] = e_s
+
+    tiles = scheduler.triangle_blocks(e_p[:n], tau, ti, use_cb_skip=use_cb)
+    if not tiles:
+        return []
+    rows = np.array([r0 // ti for (r0, _), _ in tiles], np.int32)
+    cols = np.array([c0 // ti for _, (c0, _) in tiles], np.int32)
+
+    if use_smh:
+        n_rows_b, n_bands = criteria.smh_band_params(bank.aux_param, params.tau)
+        aux_p = np.zeros((n_pad, aux_s.shape[1]), aux_s.dtype)
+        aux_p[:n] = aux_s
+        d_fp = band_fingerprints(jnp.asarray(aux_p), n_rows_b, n_bands)
+    else:
+        n_bands = 1
+        d_fp = jnp.zeros((n_pad, 1), jnp.int32)
+
+    v_bins = screen.v_bins_for(regs_s.max())
+    v_lo = screen.v_lo_for(regs_s.min())
+    tau_scr = np.float32(screen_tau(tau, params.screen_delta))
+    tau_cb = np.float32(tau * (1.0 - 1e-5))
+
+    # Pad the tile list to a device multiple with repeats (deduped below).
+    n_dev = mesh.shape["rows"]
+    n_sched = -(-len(rows) // n_dev) * n_dev
+    rows = np.pad(rows, (0, n_sched - len(rows)), constant_values=rows[-1])
+    cols = np.pad(cols, (0, n_sched - len(cols)), constant_values=cols[-1])
+
+    step = make_sharded_screen_step(
+        mesh, bank.p, v_bins, v_lo, ti, n_bands, use_cb, use_smh
+    )
+    hits, _ = step(
+        jnp.asarray(regs_p), jnp.asarray(rows), jnp.asarray(cols),
+        jnp.asarray(e_p.astype(np.float32)), d_fp,
+        jnp.int32(n), jnp.float32(tau_scr), jnp.float32(tau_cb),
+    )
+    tt, ri, cj = np.nonzero(np.asarray(hits))
+    cand = sorted(set(zip(
+        (rows[tt] * ti + ri).tolist(), (cols[tt] * ti + cj).tolist()
+    )))
+
     oracle = PairOracle(
         bank.p, regs_s, e_s, aux=aux_s, aux_param=bank.aux_param,
         criterion=crit, tau=params.tau, z_score=params.z_score,

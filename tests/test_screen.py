@@ -56,13 +56,15 @@ def test_screen_v_lo_skip_is_exact():
     assert v_lo >= 4
     rows = jnp.asarray(np.array([0], np.int32))
     cols = jnp.asarray(np.array([0], np.int32))
-    s_full, _ = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vb, v_lo=0)
+    s_full, z_full = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vb,
+                                       v_lo=0)
     s_skip, z_skip = screen.screen_s_z(
         jnp.asarray(regs), rows, cols, p, vb, v_lo=v_lo
     )
     np.testing.assert_allclose(np.asarray(s_skip), np.asarray(s_full),
                                rtol=1e-6)
-    assert np.all(np.asarray(z_skip) == 0.0)
+    assert z_skip is None  # no zero registers anywhere => Z omitted
+    assert np.all(np.asarray(z_full) == 0.0)
 
 
 def test_original_from_s_z_matches_original_estimate():
@@ -167,6 +169,27 @@ def test_screened_engine_matches_host(crit, tau):
         bank, tau, crit, apply_cb=(crit not in ("baseline", "smh_only"))
     )
     got = select_pairs_screened(bank, params, ti=256, chunk=4)
+    assert [(a, b, round(j, 12)) for a, b, j in host] == [
+        (a, b, round(j, 12)) for a, b, j in got
+    ]
+
+
+def test_screened_sharded_matches_host():
+    """Tile-sharded multi-device screened engine == host reference, on the
+    virtual 8-device CPU mesh (the TPU-world fake backend, SURVEY.md s4)."""
+    import jax
+    from jax.sharding import Mesh
+    from cuda_selection_criteria_tpu.parallel.screened import (
+        select_pairs_screened_sharded,
+    )
+
+    rng = np.random.default_rng(23)
+    bank = _make_bank(20, 10, 16, rng)
+    params = SelectionParams(tau=0.2, criterion="smh_a", block=64)
+    host = select_pairs_host(bank, 0.2, "smh_a")
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices.reshape(len(devices)), axis_names=("rows",))
+    got = select_pairs_screened_sharded(bank, params, mesh=mesh, ti=256)
     assert [(a, b, round(j, 12)) for a, b, j in host] == [
         (a, b, round(j, 12)) for a, b, j in got
     ]
