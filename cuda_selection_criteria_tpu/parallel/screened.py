@@ -136,12 +136,17 @@ def _screen_post(s, z, e, fp, row0, col0, n_real, tau_scr, tau_cb, p,
 def select_pairs_screened(bank, params, ti=512, chunk=64):
     """All-pairs selection via the fused Pallas screen + exact confirmation.
 
-    Supports criteria: smh_a, smh_only, cb, baseline (hll_a/hll_an use the
-    dense engine in parallel.selection). Returns reference-ordered
-    [(name_i, name_j, jacc)], bit-identical to the reference CPU path.
+    Supports every criterion. smh_a bands are screened on device via
+    fingerprints; for hll_a/hll_an the device screen is CB + the primary
+    Jaccard bound only - still a strict superset of the exact cascade
+    (those aux gates only REMOVE candidates, and the exact host
+    confirmation applies them in full) - so outputs stay bit-identical to
+    the reference CPU path for all criteria. Returns reference-ordered
+    [(name_i, name_j, jacc)].
     """
     crit = params.criterion
-    if crit not in ("smh_a", "smh_only", "cb", "baseline"):
+    valid = ("smh_a", "smh_only", "cb", "baseline", "hll_a", "hll_an")
+    if crit not in valid:
         raise ValueError(f"screened engine does not support criterion {crit!r}")
     n = bank.n
     if n < 2:

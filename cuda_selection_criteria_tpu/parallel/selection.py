@@ -180,7 +180,7 @@ def select_pairs(bank, params):
 
     engine = params.engine
     if engine == "auto":
-        supported = params.criterion in ("smh_a", "smh_only", "cb", "baseline")
+        supported = True  # the screened engine covers every criterion
         on_accel = jax.default_backend() != "cpu"
         # The screened engine always finishes with exact host adjudication.
         engine = (

@@ -193,3 +193,36 @@ def test_screened_sharded_matches_host():
     assert [(a, b, round(j, 12)) for a, b, j in host] == [
         (a, b, round(j, 12)) for a, b, j in got
     ]
+
+
+def _make_bank_hll_aux(n, p, p_aux, rng, pool_size=8000):
+    pool = rng.integers(0, 1 << 63, size=pool_size, dtype=np.uint64)
+    regs, aux = [], []
+    for _ in range(n):
+        k = int(rng.integers(300, 2500))
+        items = jnp.asarray(rng.choice(pool, size=k, replace=False))
+        valid = jnp.ones(items.shape, bool)
+        gid = jnp.zeros(items.shape, np.int32)
+        regs.append(np.asarray(hll_build.hll_build_batch(items, valid, gid, p, 1))[0])
+        aux.append(np.asarray(hll_build.hll_build_batch(items, valid, gid, p_aux, 1))[0])
+    regs = np.stack(regs)
+    aux = np.stack(aux)
+    cards = np.asarray(estimators.ertl_mle_from_regs(jnp.asarray(regs), p))
+    names = [f"g{i:03d}" for i in range(n)]
+    return SketchBank(names=names, p=p, regs=regs, cards=cards, aux=aux,
+                      aux_kind="hll", aux_param=p_aux)
+
+
+@pytest.mark.parametrize("crit", ["hll_a", "hll_an"])
+def test_screened_engine_matches_host_hll_aux(crit):
+    """hll_a/hll_an through the screened engine: the device screen is CB +
+    the primary Jaccard bound; the exact aux gate runs in the host
+    confirmation - outputs must equal the sequential host reference."""
+    rng = np.random.default_rng(31)
+    bank = _make_bank_hll_aux(20, 10, 6, rng)
+    params = SelectionParams(tau=0.2, criterion=crit, block=64)
+    host = select_pairs_host(bank, 0.2, crit)
+    got = select_pairs_screened(bank, params, ti=256, chunk=4)
+    assert [(a, b, round(j, 12)) for a, b, j in host] == [
+        (a, b, round(j, 12)) for a, b, j in got
+    ]
