@@ -128,6 +128,58 @@ class SketchBank:
         order = np.argsort(self.cards, kind="stable")
         return order
 
+    # -- consolidated bank checkpoint (TPU-friendly, SURVEY.md section 5) ----
+    def save(self, path, shards=1):
+        """Write the whole bank as `shards` npz files (row-partitioned).
+
+        The reference's checkpoint is one gz file per genome per sketch
+        (SURVEY.md section 5) - fine for 10 genomes, pathological for 10^6.
+        This format is one (or a few) flat arrays: mmap-friendly, loads in
+        O(shards) IO calls, and each shard maps 1:1 to a mesh "rows" slice
+        for multi-host loading (each host reads only its shard).
+        """
+        bounds = np.linspace(0, self.n, shards + 1, dtype=np.int64)
+        for s in range(shards):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            fn = path if shards == 1 else f"{path}.shard{s:04d}-of-{shards:04d}"
+            payload = {
+                "names": np.array(self.names[lo:hi]),
+                "regs": self.regs[lo:hi],
+                "p": np.int64(self.p),
+                "cards": self.cards[lo:hi],
+                "aux_kind": np.array(self.aux_kind or ""),
+                "aux_param": np.int64(self.aux_param or 0),
+                "n_shards": np.int64(shards),
+                "shard": np.int64(s),
+            }
+            if self.aux is not None:
+                payload["aux"] = self.aux[lo:hi]
+            np.savez_compressed(fn, **payload)
+
+    @classmethod
+    def load(cls, path):
+        """Load a bank saved by save(); accepts the base path of a sharded
+        set (reassembles every shard, in order)."""
+        paths = [path]
+        if not os.path.exists(path):
+            import glob
+
+            paths = sorted(glob.glob(path + ".shard*-of-*"))
+            if not paths:
+                raise FileNotFoundError(path)
+        parts = [np.load(f, allow_pickle=False) for f in paths]
+        aux_kind = str(parts[0]["aux_kind"]) or None
+        return cls(
+            names=[str(x) for z in parts for x in z["names"]],
+            regs=np.concatenate([z["regs"] for z in parts]),
+            p=int(parts[0]["p"]),
+            cards=np.concatenate([z["cards"] for z in parts]),
+            aux_kind=aux_kind,
+            aux=(np.concatenate([z["aux"] for z in parts])
+                 if "aux" in parts[0] else None),
+            aux_param=int(parts[0]["aux_param"]) or None,
+        )
+
 
 def _ctz(x):
     return (x & -x).bit_length() - 1

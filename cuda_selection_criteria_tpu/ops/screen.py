@@ -60,37 +60,26 @@ def v_lo_for(regs_min):
     return int(max(0, (int(regs_min) // 4) * 4))
 
 
-@partial(jax.jit, static_argnames=("p", "v_bins", "v_lo", "ti", "tj",
-                                   "r_sub", "precision", "interpret"))
-def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=256,
-               tj=256, r_sub=1024, precision="int8", interpret=None):
-    """Pairwise harmonic sums / zero counts for a list of (row, col) tiles.
+def _weighted_cdf_sum(regs, row_tiles, col_tiles, p, weights, ti, tj,
+                      r_sub, precision, interpret, emit_z0=False):
+    """One fused Pallas pass: out[t,i,j] = sum_v w_v * CDF_v for the given
+    static {v: w_v} weight map, over a list of (row, col) tiles; with
+    emit_z0, a second output captures CDF_0 (the zero-register count) in
+    the same pass.
 
-    Args:
-      regs: uint8 (N, 2^p) register bank; N must be a multiple of ti and tj,
-        and every register value must be <= v_bins (engine guarantees by
-        picking v_bins from the bank max).
-      row_tiles: int32 (T,) row-block index per tile (units of ti rows).
-      col_tiles: int32 (T,) col-block index per tile (units of tj rows).
-      p: static HLL precision.
-      v_bins: static vmax (weighted CDF matmuls run for v in [v_lo, v_bins)).
-      v_lo: static bank-wide minimum register value (bins below it have
-        CDF == 0; with v_lo > 0 the union has no zero registers and the Z
-        output is omitted entirely).
-
-    Returns:
-      (S, Z): float32 (T, ti, tj) harmonic sums and zero-register counts;
-      Z is None when v_lo > 0 (it would be identically zero).
+    Indicators are generated on the fly in VMEM (the register bank leaves
+    HBM once per tile) as int32 compares (v5e Mosaic supports neither
+    8-bit nor bf16 vector compares); the per-bin weights apply OUTSIDE the
+    matmul, so the MXU runs at int8 rate with exact int32 accumulation,
+    and accumulation goes straight into the VMEM-resident output blocks -
+    no scratch, which is what lets 1024x1024 single-output tiles fit the
+    16 MB VMEM budget.
     """
-    if interpret is None:
-        interpret = _interpret_default()
     r_total = 1 << p
     r_sub = min(r_sub, r_total)
     n_r = r_total // r_sub
     n_tiles = row_tiles.shape[0]
-    weights = [np.float32(np.ldexp(1.0, -(v + 1))) for v in range(v_bins)]
-    tail = np.float32(np.ldexp(float(r_total), -v_bins))
-    emit_z = v_lo == 0
+    items = sorted(weights.items())
 
     def kernel(row_ref, col_ref, a_ref, b_ref, s_ref, *maybe_z):
         r = pl.program_id(1)
@@ -98,19 +87,12 @@ def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=256,
         @pl.when(r == 0)
         def _():
             s_ref[:] = jnp.zeros_like(s_ref)
-            if emit_z:
+            if emit_z0:
                 maybe_z[0][:] = jnp.zeros_like(maybe_z[0])
 
-        # int32 compares (v5e Mosaic supports neither 8-bit nor bf16 vector
-        # compares); indicators are exact 0/1 whatever the matmul dtype.
-        # The per-bin weights apply OUTSIDE the matmul, so the MXU runs at
-        # int8 rate (2x bf16 on v5e) with exact int32 count accumulation.
-        # Accumulation goes straight into the VMEM-resident output blocks -
-        # no scratch accumulators, keeping the 16 MB VMEM budget for the
-        # register blocks.
         a = a_ref[:].astype(jnp.int32)  # (ti, r_sub)
         b = b_ref[:].astype(jnp.int32)
-        for v in range(v_lo, v_bins):
+        for v, w in items:
             if precision == "int8":
                 ia = (a <= v).astype(jnp.int8)
                 ib = (b <= v).astype(jnp.int8)
@@ -123,8 +105,8 @@ def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=256,
                 ia, ib, (((1,), (1,)), ((), ())),
                 preferred_element_type=acc_dt,
             ).astype(jnp.float32)
-            s_ref[:] += weights[v] * d
-            if v == 0 and emit_z:
+            s_ref[:] += np.float32(w) * d
+            if v == 0 and emit_z0:
                 maybe_z[0][:] += d
 
     out_spec = pl.BlockSpec(
@@ -145,17 +127,66 @@ def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=256,
                 lambda t, r, rows, cols: (cols[t].astype(jnp.int32), r),
             ),
         ],
-        out_specs=[out_spec, out_spec] if emit_z else [out_spec],
+        out_specs=[out_spec, out_spec] if emit_z0 else [out_spec],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[out_shape, out_shape] if emit_z else [out_shape],
+        out_shape=[out_shape, out_shape] if emit_z0 else [out_shape],
         interpret=interpret,
     )(row_tiles, col_tiles, regs, regs)
-    if emit_z:
-        return out[0] + tail, out[1]
-    return out[0] + tail, None
+    return out if emit_z0 else out[0]
+
+
+@partial(jax.jit, static_argnames=("p", "v_bins", "v_lo", "ti", "tj",
+                                   "r_sub", "precision", "interpret"))
+def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=512,
+               tj=512, r_sub=None, precision="int8", interpret=None):
+    """Pairwise harmonic sums / zero counts for a list of (row, col) tiles.
+
+    Args:
+      regs: uint8 (N, 2^p) register bank; N must be a multiple of ti and tj,
+        and every register value must be <= v_bins (engine guarantees by
+        picking v_bins from the bank max).
+      row_tiles: int32 (T,) row-block index per tile (units of ti rows).
+      col_tiles: int32 (T,) col-block index per tile (units of tj rows).
+      p: static HLL precision.
+      v_bins: static vmax (weighted CDF matmuls run for v in [v_lo, v_bins)).
+      v_lo: static bank-wide minimum register value (bins below it have
+        CDF == 0; with v_lo > 0 the union has no zero registers and the Z
+        output is omitted entirely).
+
+    Returns:
+      (S, Z): float32 (T, ti, tj) harmonic sums and zero-register counts;
+      Z is None when v_lo > 0 (it would be identically zero). Z is a
+      separate single-bin pass (1/(v_bins - v_lo) of the S work) so the
+      main kernel stays single-output.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    if r_sub is None:
+        # Keep (in-blocks + widened operands + one f32 output block) x
+        # double-buffering inside the 16 MB VMEM budget at every tile size.
+        r_sub = max(256, (1 << 18) // max(ti, tj))
+    tail = np.float32(np.ldexp(float(1 << p), -v_bins))
+    s_weights = {v: np.ldexp(1.0, -(v + 1)) for v in range(v_lo, v_bins)}
+    if v_lo > 0:
+        s = _weighted_cdf_sum(regs, row_tiles, col_tiles, p, s_weights, ti,
+                              tj, r_sub, precision, interpret)
+        return s + tail, None
+    if ti * tj <= 512 * 512:
+        # Both outputs fit VMEM: capture Z in the same pass (one read of
+        # the register bank).
+        s, z = _weighted_cdf_sum(regs, row_tiles, col_tiles, p, s_weights,
+                                 ti, tj, r_sub, precision, interpret,
+                                 emit_z0=True)
+        return s + tail, z
+    # Large tiles: single-output passes (S, then the 1-bin Z pass).
+    s = _weighted_cdf_sum(regs, row_tiles, col_tiles, p, s_weights, ti, tj,
+                          r_sub, precision, interpret)
+    z = _weighted_cdf_sum(regs, row_tiles, col_tiles, p, {0: 1.0}, ti, tj,
+                          r_sub, precision, interpret)
+    return s + tail, z
 
 
 def original_from_s_z(s, z, p):

@@ -97,3 +97,35 @@ def test_rewrite_committed_file_identical_payload(tmp_path):
     formats.write_hll(dst, p, core, value=hdr["value"],
                       is_calculated=hdr["is_calculated"])
     assert gzip.open(src, "rb").read() == gzip.open(dst, "rb").read()
+
+
+def test_bank_save_load_roundtrip(tmp_path):
+    """Consolidated bank checkpoint: single-file and sharded roundtrips."""
+    import numpy as np
+    from cuda_selection_criteria_tpu.models.bank import SketchBank
+
+    rng = np.random.default_rng(4)
+    n = 10
+    bank = SketchBank(
+        names=[f"g{i}" for i in range(n)],
+        regs=rng.integers(0, 20, size=(n, 1 << 8), dtype=np.uint8),
+        p=8,
+        aux_kind="smh",
+        aux=rng.integers(0, 1 << 63, size=(n, 4), dtype=np.uint64),
+        aux_param=4,
+    )
+    single = str(tmp_path / "bank.npz")
+    bank.save(single)
+    got = SketchBank.load(single)
+    assert got.names == bank.names and got.p == 8
+    np.testing.assert_array_equal(got.regs, bank.regs)
+    np.testing.assert_array_equal(got.aux, bank.aux)
+    np.testing.assert_array_equal(got.cards, bank.cards)
+    assert got.aux_kind == "smh" and got.aux_param == 4
+
+    sharded = str(tmp_path / "bank_sharded.npz")
+    bank.save(sharded, shards=3)
+    got3 = SketchBank.load(sharded)
+    assert got3.names == bank.names
+    np.testing.assert_array_equal(got3.regs, bank.regs)
+    np.testing.assert_array_equal(got3.aux, bank.aux)

@@ -37,7 +37,8 @@ def test_screen_s_z_matches_numpy():
     vb = screen.v_bins_for(regs.max())
     rows = jnp.asarray(np.array([0, 0, 1], np.int32))
     cols = jnp.asarray(np.array([0, 1, 1], np.int32))
-    s, z = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vb)
+    s, z = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vb, ti=256,
+                             tj=256)
     s, z = np.asarray(s), np.asarray(z)
     for t, (bi, bj) in enumerate([(0, 0), (0, 1), (1, 1)]):
         s_ref, z_ref = _ref_s_z(
@@ -57,9 +58,9 @@ def test_screen_v_lo_skip_is_exact():
     rows = jnp.asarray(np.array([0], np.int32))
     cols = jnp.asarray(np.array([0], np.int32))
     s_full, z_full = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vb,
-                                       v_lo=0)
+                                       v_lo=0, ti=256, tj=256)
     s_skip, z_skip = screen.screen_s_z(
-        jnp.asarray(regs), rows, cols, p, vb, v_lo=v_lo
+        jnp.asarray(regs), rows, cols, p, vb, v_lo=v_lo, ti=256, tj=256
     )
     np.testing.assert_allclose(np.asarray(s_skip), np.asarray(s_full),
                                rtol=1e-6)
