@@ -194,6 +194,11 @@ def sketch_codes_device(codes, k, p, aux_kind=None, aux_param=None):
     """
     codes = np.asarray(codes, np.uint8)
     max_chunk = _CHUNK_BUCKETS[-1]
+    if aux_kind == "smh":
+        # SuperMinHash candidates materialize (chunk, m) u64 on device;
+        # cap the chunk so that stays ~1 GB whatever the bucket count.
+        max_chunk = min(max_chunk, max(_CHUNK_BUCKETS[0],
+                                       (1 << 26) // max(1, aux_param)))
     n = codes.size
 
     regs = None

@@ -55,20 +55,32 @@ def smh_candidates(kmers, valid, m):
     r = draws >> 32
 
     # Fisher-Yates prefix, vectorized across items: p starts as identity
-    # (the reference's lazy q_/i_ reset makes p fresh per item).
-    perm = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (t, m))
+    # (the reference's lazy q_/i_ reset makes p fresh per item). The j loop
+    # is a lax.fori_loop so the trace stays O(1) in m - a Python unroll at
+    # m=512 costs minutes of TPU compile time for identical math.
+    perm0 = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (t, m))
     iota = jnp.arange(m, dtype=jnp.int32)
-    buckets = jnp.zeros((t, m), jnp.int32)
-    for j in range(m):
-        kj = k[:, j]
-        vj = perm[:, j]
+    buckets0 = jnp.zeros((t, m), jnp.int32)
+
+    def body(j, carry):
+        perm, buckets = carry
+        kj = jax.lax.dynamic_index_in_dim(k, j, axis=1, keepdims=False)
+        vj = jax.lax.dynamic_index_in_dim(perm, j, axis=1, keepdims=False)
         vk = jnp.take_along_axis(perm, kj[:, None], axis=1)[:, 0]
         # swap(p[k], p[j]): p[j] <- old p[k]; p[k] <- old p[j].
-        perm = perm.at[:, j].set(vk)
+        perm = jax.lax.dynamic_update_slice_in_dim(
+            perm, vk[:, None], j, axis=1
+        )
         perm = jnp.where(iota[None, :] == kj[:, None], vj[:, None], perm)
         # after the swap, the candidate goes to bucket p[j] == vk
         # (when kj == j the second write restores vj == vk, consistent).
-        buckets = buckets.at[:, j].set(jnp.where(kj == j, vj, vk))
+        bj = jnp.where(kj == j, vj, vk)
+        buckets = jax.lax.dynamic_update_slice_in_dim(
+            buckets, bj[:, None], j, axis=1
+        )
+        return perm, buckets
+
+    _, buckets = jax.lax.fori_loop(0, m, body, (perm0, buckets0))
 
     j64 = jnp.arange(m, dtype=jnp.uint64) << 32
     cands = jnp.where(valid[:, None], j64[None, :] | r, U64_MAX)
