@@ -78,8 +78,7 @@ def main():
     tau = criteria.effective_tau(TAU)
     tau_scr = np.float32(screened.screen_tau(tau))
     tau_cb = np.float32(tau * (1.0 - 1e-5))
-    v_bins = screen.v_bins_for(regs.max())
-    v_lo = screen.v_lo_for(regs.min())
+    values = screen.bank_values(regs)
 
     # Device-resident bank (production holds the bank on-chip across
     # queries; the upload is not part of the per-query cost).
@@ -111,8 +110,8 @@ def main():
             c_chunk = cols[c0:c0 + CHUNK]
             hits, cnt = screened._screen_chunk(
                 d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk), d_e,
-                d_fp, jnp.int32(N_GENOMES), tau_s, tau_cb, P, v_bins,
-                v_lo, TI, n_bands, True, True,
+                d_fp, jnp.int32(N_GENOMES), tau_s, tau_cb, P, values,
+                TI, n_bands, True, True,
             )
             pending.append((hits, cnt))
         counts = np.asarray(jnp.stack([c for _, c in pending]))

@@ -138,29 +138,55 @@ def _weighted_cdf_sum(regs, row_tiles, col_tiles, p, weights, ti, tj,
     return out if emit_z0 else out[0]
 
 
-@partial(jax.jit, static_argnames=("p", "v_bins", "v_lo", "ti", "tj",
+def bank_values(regs):
+    """Sorted tuple of the distinct register values present in the bank.
+
+    The screen only needs one CDF matmul per PRESENT value: for any absent
+    value v, [a <= v] == [a <= prev present value], so absent bins fold
+    into their predecessor's weight exactly (see screen_s_z). Real banks
+    have a handful of present values (a zero bin plus a band around
+    log2(n/m)), typically halving the matmul count vs a dense 0..vmax scan.
+    """
+    return tuple(int(v) for v in np.unique(np.asarray(regs)))
+
+
+def v_bins_for(regs_max):
+    """Dense fallback value set 0..regs_max (bucketed to multiples of 4)."""
+    hi = int(min(51, max(8, -(-int(regs_max + 1) // 4) * 4)))
+    return tuple(range(hi))
+
+
+def v_lo_for(regs_min):
+    """Deprecated shim (value-set API supersedes the v_lo optimization)."""
+    return int(max(0, (int(regs_min) // 4) * 4))
+
+
+@partial(jax.jit, static_argnames=("p", "values", "ti", "tj",
                                    "r_sub", "precision", "interpret"))
-def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=512,
+def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
                tj=512, r_sub=None, precision="int8", interpret=None):
     """Pairwise harmonic sums / zero counts for a list of (row, col) tiles.
 
+    Exact dyadic telescope over PRESENT register values only: for sorted
+    present values b_0 < ... < b_{K-1} (every register of every real row
+    is one of them - padded rows are masked downstream so their values
+    don't matter), max(a, b) is itself always a present value, hence
+
+        S = R * 2^-b_{K-1} + sum_{i<K-1} (2^-b_i - 2^-b_{i+1}) * CDF[b_i]
+
+    with one indicator matmul per b_i - absent bins cost nothing.
+
     Args:
-      regs: uint8 (N, 2^p) register bank; N must be a multiple of ti and tj,
-        and every register value must be <= v_bins (engine guarantees by
-        picking v_bins from the bank max).
+      regs: uint8 (N, 2^p) register bank; N a multiple of ti and tj.
       row_tiles: int32 (T,) row-block index per tile (units of ti rows).
       col_tiles: int32 (T,) col-block index per tile (units of tj rows).
       p: static HLL precision.
-      v_bins: static vmax (weighted CDF matmuls run for v in [v_lo, v_bins)).
-      v_lo: static bank-wide minimum register value (bins below it have
-        CDF == 0; with v_lo > 0 the union has no zero registers and the Z
-        output is omitted entirely).
+      values: static sorted tuple of distinct register values present in
+        the real rows (bank_values(regs)).
 
     Returns:
       (S, Z): float32 (T, ti, tj) harmonic sums and zero-register counts;
-      Z is None when v_lo > 0 (it would be identically zero). Z is a
-      separate single-bin pass (1/(v_bins - v_lo) of the S work) so the
-      main kernel stays single-output.
+      Z is None when 0 is not a present value (no zero registers exist).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -168,9 +194,22 @@ def screen_s_z(regs, row_tiles, col_tiles, p, v_bins, v_lo=0, ti=512,
         # Keep (in-blocks + widened operands + one f32 output block) x
         # double-buffering inside the 16 MB VMEM budget at every tile size.
         r_sub = max(256, (1 << 18) // max(ti, tj))
-    tail = np.float32(np.ldexp(float(1 << p), -v_bins))
-    s_weights = {v: np.ldexp(1.0, -(v + 1)) for v in range(v_lo, v_bins)}
-    if v_lo > 0:
+    values = tuple(sorted(values))
+    n_tiles = row_tiles.shape[0]
+    tail = np.float32(np.ldexp(float(1 << p), -values[-1]))
+    s_weights = {
+        b: np.ldexp(1.0, -b) - np.ldexp(1.0, -values[i + 1])
+        for i, b in enumerate(values[:-1])
+    }
+    want_z = values[0] == 0
+
+    if not s_weights:  # single present value: S/Z are constants
+        s = jnp.full((n_tiles, ti, tj), tail, jnp.float32)
+        z = (jnp.full((n_tiles, ti, tj), float(1 << p), jnp.float32)
+             if want_z else None)
+        return s, z
+
+    if not want_z:
         s = _weighted_cdf_sum(regs, row_tiles, col_tiles, p, s_weights, ti,
                               tj, r_sub, precision, interpret)
         return s + tail, None

@@ -66,15 +66,14 @@ def band_fingerprints(aux, n_rows, n_bands):
     return fp.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("p", "v_bins", "v_lo", "ti", "n_bands",
+@partial(jax.jit, static_argnames=("p", "values", "ti", "n_bands",
                                    "use_cb", "use_smh"))
 def _screen_chunk(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
-                  p, v_bins, v_lo, ti, n_bands, use_cb, use_smh):
+                  p, values, ti, n_bands, use_cb, use_smh):
     """One fused dispatch: Pallas screen kernel + gates + count."""
     from ..ops.screen import screen_s_z
 
-    s, z = screen_s_z(regs, r_tiles, c_tiles, p, v_bins, v_lo=v_lo,
-                      ti=ti, tj=ti)
+    s, z = screen_s_z(regs, r_tiles, c_tiles, p, values, ti=ti, tj=ti)
     hits = _screen_post(
         s, z, e, fp, r_tiles * ti, c_tiles * ti, n_real, tau_scr, tau_cb,
         p, n_bands, ti, ti, use_cb, use_smh,
@@ -116,7 +115,7 @@ def _screen_post(s, z, e, fp, row0, col0, n_real, tau_scr, tau_cb, p,
 
     e_sum = e_a[:, :, None] + e_b[:, None, :]
     hits = s * e_sum >= alpha * np.float32(m) * np.float32(m) * one_tau
-    if z is not None:  # v_lo == 0: the linear-counting branch can fire
+    if z is not None:  # zero registers exist: linear counting can fire
         hits |= (z > 0) & (z >= m * u_a[:, :, None] * u_b[:, None, :])
 
     hits &= (ii[:, :, None] < jj[:, None, :]) & (jj[:, None, :] < n_real)
@@ -192,8 +191,7 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
 
     d_regs = jnp.asarray(regs_p)
     d_e = jnp.asarray(e_p.astype(np.float32))
-    v_bins = screen.v_bins_for(regs_s.max() if n else 1)
-    v_lo = screen.v_lo_for(regs_s.min() if n else 0)
+    values = screen.bank_values(regs_s)
     tau_scr = np.float32(screen_tau(tau, params.screen_delta))
     # CB margin: the screen divides in f32; relax by 1e-5 relative and let
     # the oracle apply the exact f64 comparison.
@@ -219,7 +217,7 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
         c_chunk = cols[c0:c0 + chunk]
         hits, cnt = _screen_chunk(
             d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk), d_e, d_fp,
-            jnp.int32(n), tau_scr, tau_cb, bank.p, v_bins, v_lo, ti,
+            jnp.int32(n), tau_scr, tau_cb, bank.p, values, ti,
             n_bands, use_cb, use_smh,
         )
         pending.append((r_chunk, c_chunk, hits, cnt))
@@ -254,7 +252,7 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
 # ---------------------------------------------------------------------------
 
 
-def make_sharded_screen_step(mesh, p, v_bins, v_lo, ti, n_bands, use_cb,
+def make_sharded_screen_step(mesh, p, values, ti, n_bands, use_cb,
                              use_smh):
     """Build the jitted multi-device screened step.
 
@@ -274,7 +272,7 @@ def make_sharded_screen_step(mesh, p, v_bins, v_lo, ti, n_bands, use_cb,
     def step(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb):
         hits, cnt = _screen_chunk(
             regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
-            p, v_bins, v_lo, ti, n_bands, use_cb, use_smh,
+            p, values, ti, n_bands, use_cb, use_smh,
         )
         return hits, cnt[None]  # rank-1 so counts concatenate over "rows"
 
@@ -342,8 +340,7 @@ def select_pairs_screened_sharded(bank, params, mesh=None, ti=512):
         n_bands = 1
         d_fp = jnp.zeros((n_pad, 1), jnp.int32)
 
-    v_bins = screen.v_bins_for(regs_s.max())
-    v_lo = screen.v_lo_for(regs_s.min())
+    values = screen.bank_values(regs_s)
     tau_scr = np.float32(screen_tau(tau, params.screen_delta))
     tau_cb = np.float32(tau * (1.0 - 1e-5))
 
@@ -354,7 +351,7 @@ def select_pairs_screened_sharded(bank, params, mesh=None, ti=512):
     cols = np.pad(cols, (0, n_sched - len(cols)), constant_values=cols[-1])
 
     step = make_sharded_screen_step(
-        mesh, bank.p, v_bins, v_lo, ti, n_bands, use_cb, use_smh
+        mesh, bank.p, values, ti, n_bands, use_cb, use_smh
     )
     hits, _ = step(
         jnp.asarray(regs_p), jnp.asarray(rows), jnp.asarray(cols),

@@ -2,7 +2,7 @@
 
 Covers (SURVEY.md section 4 test pyramid):
   * bit-level exactness of the harmonic-sum / zero-count kernel vs numpy;
-  * the v_lo bin-skip optimization;
+  * present-value bin folding (absent bins cost no matmuls);
   * the ORIGINAL-estimator screen vs the exact ERTL-MLE: measured
     deviation bound that justifies SCREEN_DELTA_DEFAULT;
   * end-to-end: screened engine == sequential host reference engine
@@ -34,10 +34,10 @@ def test_screen_s_z_matches_numpy():
     p, r = 8, 256
     rng = np.random.default_rng(11)
     regs = rng.integers(0, 13, size=(512, r), dtype=np.uint8)
-    vb = screen.v_bins_for(regs.max())
+    vals = screen.bank_values(regs)
     rows = jnp.asarray(np.array([0, 0, 1], np.int32))
     cols = jnp.asarray(np.array([0, 1, 1], np.int32))
-    s, z = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vb, ti=256,
+    s, z = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vals, ti=256,
                              tj=256)
     s, z = np.asarray(s), np.asarray(z)
     for t, (bi, bj) in enumerate([(0, 0), (0, 1), (1, 1)]):
@@ -48,24 +48,29 @@ def test_screen_s_z_matches_numpy():
         np.testing.assert_array_equal(z[t], z_ref)
 
 
-def test_screen_v_lo_skip_is_exact():
+def test_screen_present_value_bins_are_exact():
+    """Sparse value sets (gaps, no zeros) fold absent bins exactly."""
     p, r = 8, 256
     rng = np.random.default_rng(5)
-    regs = rng.integers(9, 19, size=(256, r), dtype=np.uint8)  # min >= 9
-    vb = screen.v_bins_for(regs.max())
-    v_lo = screen.v_lo_for(regs.min())
-    assert v_lo >= 4
+    # values only in {9..18} with gaps: 0 absent -> Z omitted
+    regs = (rng.integers(0, 5, size=(256, r), dtype=np.uint8) * 2 + 9)
+    vals = screen.bank_values(regs)
+    assert 0 not in vals and len(vals) == 5
     rows = jnp.asarray(np.array([0], np.int32))
     cols = jnp.asarray(np.array([0], np.int32))
-    s_full, z_full = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vb,
-                                       v_lo=0, ti=256, tj=256)
-    s_skip, z_skip = screen.screen_s_z(
-        jnp.asarray(regs), rows, cols, p, vb, v_lo=v_lo, ti=256, tj=256
+    dense = tuple(range(int(regs.max()) + 1))
+    s_dense, z_dense = screen.screen_s_z(jnp.asarray(regs), rows, cols, p,
+                                         dense, ti=256, tj=256)
+    s_sparse, z_sparse = screen.screen_s_z(
+        jnp.asarray(regs), rows, cols, p, vals, ti=256, tj=256
     )
-    np.testing.assert_allclose(np.asarray(s_skip), np.asarray(s_full),
+    np.testing.assert_allclose(np.asarray(s_sparse), np.asarray(s_dense),
                                rtol=1e-6)
-    assert z_skip is None  # no zero registers anywhere => Z omitted
-    assert np.all(np.asarray(z_full) == 0.0)
+    # numpy ground truth too
+    s_ref, _ = _ref_s_z(regs, regs)
+    np.testing.assert_allclose(np.asarray(s_sparse)[0], s_ref, rtol=1e-6)
+    assert z_sparse is None  # no zero registers anywhere => Z omitted
+    assert np.all(np.asarray(z_dense) == 0.0)
 
 
 def test_original_from_s_z_matches_original_estimate():
