@@ -88,7 +88,7 @@ def smh_candidates(kmers, valid, m):
 
 
 @partial(jax.jit, static_argnames=("m", "n_genomes"))
-def smh_build_batch(kmers, valid, genome_ids, m, n_genomes):
+def smh_build_batch_full(kmers, valid, genome_ids, m, n_genomes):
     """Build SuperMinHash h_ vectors for a batch of genomes in one reduce.
 
     Returns uint64 (n_genomes, m); empty buckets remain U64_MAX, matching the
@@ -104,6 +104,90 @@ def smh_build_batch(kmers, valid, genome_ids, m, n_genomes):
     return h.reshape(n_genomes, m)
 
 
+@partial(jax.jit, static_argnames=("m", "n_genomes"))
+def smh_build_batch_j0(kmers, valid, genome_ids, m, n_genomes):
+    """The j=0-only SuperMinHash pass: exact whenever it is complete.
+
+    The first candidate of item x lands in bucket k_0 = low32(draw_0) & (m-1)
+    with value (0 << 32) | r_0 = high32(draw_0) < 2^32 (sigma_x(0) = k_0: the
+    first Fisher-Yates swap puts p[0] = k_0 - no permutation state needed).
+    Every j >= 1 candidate is >= 2^32, so if every bucket of a genome
+    received some j=0 candidate, the j=0 minima ARE the exact h_ - the
+    batch analog of the reference's a_-bound, which also degenerates to
+    j = 0 once every bucket holds a small candidate (bbmh.h:639-670).
+
+    Returns (h, complete): uint64 (n_genomes, m) and a bool scalar; `h` is
+    the exact sketch iff `complete` (max over all buckets < 2^32).
+    """
+    draws = wyrand_draws(jnp.asarray(kmers, jnp.uint64), 1)[..., 0]  # (T,)
+    k0 = (draws & jnp.uint64(m - 1)).astype(jnp.int32)
+    # j=0 candidate values are r0 < 2^32: run the scatter-min in NATIVE
+    # int32 via the order-preserving bias r ^ 0x8000_0000 (u64 scatters are
+    # emulated and ~10x slower). INT32_MAX doubles as the empty marker; a
+    # genuine r0 == 0xffffffff winner collides with it, maps to U64_MAX,
+    # fails the completeness check, and takes the exact full path - so the
+    # collision costs time, never correctness.
+    biased = ((draws >> 32).astype(jnp.uint32)
+              ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    i32_max = jnp.int32(0x7FFFFFFF)
+    gids = jnp.asarray(genome_ids, jnp.int32)
+    seg = (gids * m + k0).astype(jnp.int32)
+    vals = jnp.where(valid, biased, i32_max)
+    n_seg = n_genomes * m
+
+    if n_seg <= 4096:
+        # Few segments -> a scatter-min serializes on index collisions
+        # (~400 ms/M items); a dense masked min over (chunk, n_seg) tiles
+        # is pure VPU work instead (~10x faster).
+        tc = max(128, (1 << 23) // n_seg)
+        t = vals.shape[0]
+        n_chunks = -(-t // tc)
+        pad = n_chunks * tc - t
+        v_p = jnp.pad(vals, (0, pad), constant_values=0x7FFFFFFF)
+        s_p = jnp.pad(seg, (0, pad), constant_values=0).reshape(n_chunks, tc)
+        v_p = v_p.reshape(n_chunks, tc)
+        ids = jnp.arange(n_seg, dtype=jnp.int32)
+
+        def chunk_min(carry, xs):
+            bv, sv = xs
+            mins = jnp.min(
+                jnp.where(sv[:, None] == ids[None, :], bv[:, None], i32_max),
+                axis=0,
+            )
+            return jnp.minimum(carry, mins), None
+
+        h32, _ = jax.lax.scan(
+            chunk_min, jnp.full(n_seg, i32_max, jnp.int32), (v_p, s_p)
+        )
+        h32 = h32.reshape(n_genomes, m)
+    else:
+        h32 = jax.ops.segment_min(
+            vals, seg, num_segments=n_seg,
+        ).reshape(n_genomes, m)
+    h = jnp.where(
+        h32 == i32_max,
+        U64_MAX,
+        (h32.astype(jnp.uint32) ^ jnp.uint32(0x80000000)).astype(jnp.uint64),
+    )
+    complete = jnp.max(h) < jnp.uint64(1) << 32
+    return h, complete
+
+
+def smh_build_batch(kmers, valid, genome_ids, m, n_genomes):
+    """Exact batched SuperMinHash build with the j=0 fast path.
+
+    Runs the one-draw segment-min first (O(T) work, no Fisher-Yates); a
+    single scalar fetch verifies completeness, and only batches where some
+    genome has a j=0-empty bucket (tiny genomes: P ~ m*(1-1/m)^T) fall
+    back to the full candidate simulation. Both paths are bit-exact vs the
+    reference (tests/test_smh.py).
+    """
+    h, complete = smh_build_batch_j0(kmers, valid, genome_ids, m, n_genomes)
+    if bool(complete):
+        return h
+    return smh_build_batch_full(kmers, valid, genome_ids, m, n_genomes)
+
+
 def smh_merge_min(h_a, h_b):
     """Element-wise min merge: combining batches == one sequential build."""
     return jnp.minimum(h_a, h_b)
@@ -112,5 +196,7 @@ def smh_merge_min(h_a, h_b):
 @partial(jax.jit, static_argnames=("m",))
 def smh_update(h, kmers, valid, m):
     """Fold a new k-mer batch into an existing single-genome h_ vector."""
-    batch = smh_build_batch(kmers, valid, jnp.zeros(kmers.shape, jnp.int32), m, 1)[0]
+    batch = smh_build_batch_full(
+        kmers, valid, jnp.zeros(kmers.shape, jnp.int32), m, 1
+    )[0]
     return jnp.minimum(h, batch)
