@@ -88,20 +88,45 @@ class SketchBank:
 
     # -- loading from reference-format sketch files -------------------------
     @classmethod
-    def from_sketch_files(cls, files, criterion=None, aux_bytes=256):
+    def from_sketch_files(cls, files, criterion=None, aux_bytes=256,
+                          io_threads=16):
         """Load .hll (+ .hll_{p} / .smh{m}) files like the reference's
-        selection binaries (src/selection.cpp:122-256)."""
-        regs = np.stack([formats.read_hll(f + ".hll")[1] for f in files])
+        selection binaries (src/selection.cpp:122-256).
+
+        Uses the native threaded batch loader (native/fastx.cpp) when the
+        C++ library is available - the reference loads one gz file per
+        genome per sketch on one thread, which is the cold-start
+        bottleneck at bank scale - and falls back to the pure-Python
+        readers otherwise (identical bytes either way)."""
+        from ..native import fastx as native
+
+        use_native = native.available()
+
+        def load_hll_bank(paths, p):
+            if use_native:
+                try:
+                    return native.read_hll_batch(paths, p, threads=io_threads)
+                except (IOError, ImportError):
+                    pass
+            return np.stack([formats.read_hll(f)[1] for f in paths])
+
+        regs = load_hll_bank([f + ".hll" for f in files], PRIMARY_P)
         aux_kind = aux = aux_param = None
         if criterion in ("hll_a", "hll_an"):
             p_aux = _ctz(aux_bytes)
-            aux = np.stack(
-                [formats.read_hll(f + f".hll_{p_aux}")[1] for f in files]
-            )
+            aux = load_hll_bank([f + f".hll_{p_aux}" for f in files], p_aux)
             aux_kind, aux_param = "hll", p_aux
         elif criterion == "smh_a":
             m = aux_bytes // 8
-            aux = np.stack([formats.read_smh(f + f".smh{m}") for f in files])
+            smh_paths = [f + f".smh{m}" for f in files]
+            if use_native:
+                try:
+                    aux = native.read_smh_batch(smh_paths, m,
+                                                threads=io_threads)
+                except (IOError, ImportError):
+                    aux = None
+            if aux is None:
+                aux = np.stack([formats.read_smh(f) for f in smh_paths])
             aux_kind, aux_param = "smh", m
         return cls(
             names=list(files),

@@ -14,10 +14,13 @@
 //
 // Build: make -C cuda_selection_criteria_tpu/native   (g++ -O3 -shared -lz)
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <thread>
+#include <vector>
 #include <zlib.h>
 
 namespace {
@@ -254,6 +257,111 @@ int64_t fastx_build_sketches(const char* path, unsigned k, unsigned p,
   std::free(stamp);
   std::free(hist);
   return err < 0 ? -1 : n_kmers;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded batch sketch-bank loaders. The reference re-opens one gz file per
+// genome per sketch on a single thread (src/selection.cpp:245-246); loading a
+// 10^5-genome bank that way is IO-bound cold-start. These read many files in
+// parallel straight into the packed (N, 2^p) / (N, m) arrays the device
+// engine consumes.
+//
+// .hll format (sketch hll_t::write, reference hll.h:1103-1111):
+//   gz[ u32 is_calculated, u32 estim, u32 jestim, u32 1, u32 np,
+//       f64 value, u8 core[2^np] ]
+// .smh format (this project's write_smh parity, src/build_sketch.cpp:9-20):
+//   gz[ u32 size, u64 h[size] ]
+
+static int read_one_hll(const char* path, unsigned expect_p, uint8_t* out) {
+  gzFile fp = gzopen(path, "rb");
+  if (!fp) return -1;
+  gzbuffer(fp, 1u << 18);
+  uint32_t head[5];
+  double value;
+  if (gzread(fp, head, sizeof(head)) != (int)sizeof(head) ||
+      gzread(fp, &value, sizeof(value)) != (int)sizeof(value)) {
+    gzclose(fp);
+    return -2;
+  }
+  if (head[4] != expect_p) {
+    gzclose(fp);
+    return -3;
+  }
+  size_t n = size_t(1) << expect_p;
+  size_t got = 0;
+  while (got < n) {
+    int r = gzread(fp, out + got, (unsigned)(n - got));
+    if (r <= 0) break;
+    got += (size_t)r;
+  }
+  gzclose(fp);
+  return got == n ? 0 : -4;
+}
+
+static int read_one_smh(const char* path, unsigned expect_m, uint64_t* out) {
+  gzFile fp = gzopen(path, "rb");
+  if (!fp) return -1;
+  uint32_t size = 0;
+  if (gzread(fp, &size, sizeof(size)) != (int)sizeof(size) ||
+      size != expect_m) {
+    gzclose(fp);
+    return -3;
+  }
+  size_t bytes = sizeof(uint64_t) * expect_m;
+  size_t got = 0;
+  auto* p = reinterpret_cast<uint8_t*>(out);
+  while (got < bytes) {
+    int r = gzread(fp, p + got, (unsigned)(bytes - got));
+    if (r <= 0) break;
+    got += (size_t)r;
+  }
+  gzclose(fp);
+  return got == bytes ? 0 : -4;
+}
+
+template <typename Fn>
+static int batch_run(int n, int n_threads, Fn&& fn) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      int rc = fn(i);
+      if (rc != 0) {
+        int expected = 0;
+        err.compare_exchange_strong(expected, rc);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return err.load();
+}
+
+extern "C" {
+
+// paths: array of n C strings. regs_out: uint8[n][1 << p]. Returns 0 or the
+// first per-file error code.
+int fastx_read_hll_batch(const char* const* paths, int n, int n_threads,
+                         unsigned p, uint8_t* regs_out) {
+  const size_t stride = size_t(1) << p;
+  return batch_run(n, n_threads, [&](int i) {
+    return read_one_hll(paths[i], p, regs_out + stride * (size_t)i);
+  });
+}
+
+// paths: array of n C strings. out: uint64[n][m].
+int fastx_read_smh_batch(const char* const* paths, int n, int n_threads,
+                         unsigned m, uint64_t* out) {
+  return batch_run(n, n_threads, [&](int i) {
+    return read_one_smh(paths[i], m, out + (size_t)m * (size_t)i);
+  });
 }
 
 }  // extern "C"

@@ -57,6 +57,22 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64),
         ]
         lib.fastx_build_sketches.restype = ctypes.c_int64
+        lib.fastx_read_hll_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_uint,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.fastx_read_hll_batch.restype = ctypes.c_int
+        lib.fastx_read_smh_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_uint,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.fastx_read_smh_batch.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -108,3 +124,39 @@ def build_sketches(path, k=31, p=14, p_aux=0, m=0):
     if n < 0:
         raise IOError(f"fastx_build_sketches({path}) failed")
     return regs, regs_aux, smh, int(n)
+
+
+def _paths_array(paths):
+    arr = (ctypes.c_char_p * len(paths))()
+    arr[:] = [p.encode() for p in paths]
+    return arr
+
+
+def read_hll_batch(paths, p, threads=16):
+    """Threaded batch load of .hll files into a packed (N, 2^p) bank."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("libfastx.so unavailable")
+    out = np.empty((len(paths), 1 << p), np.uint8)
+    rc = lib.fastx_read_hll_batch(
+        _paths_array(paths), len(paths), threads, p,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise IOError(f"fastx_read_hll_batch failed: rc={rc}")
+    return out
+
+
+def read_smh_batch(paths, m, threads=16):
+    """Threaded batch load of .smh{m} files into a packed (N, m) array."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("libfastx.so unavailable")
+    out = np.empty((len(paths), m), np.uint64)
+    rc = lib.fastx_read_smh_batch(
+        _paths_array(paths), len(paths), threads, m,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != 0:
+        raise IOError(f"fastx_read_smh_batch failed: rc={rc}")
+    return out

@@ -1,6 +1,6 @@
 """Parallel/distributed layer: pair-block scheduling, selection engines,
 device-mesh sharding."""
 
-from . import mesh, scheduler, screened, selection
+from . import distributed, mesh, scheduler, screened, selection
 
 __all__ = ["mesh", "scheduler", "selection"]

@@ -129,3 +129,35 @@ def test_bank_save_load_roundtrip(tmp_path):
     assert got3.names == bank.names
     np.testing.assert_array_equal(got3.regs, bank.regs)
     np.testing.assert_array_equal(got3.aux, bank.aux)
+
+
+def test_native_batch_loaders_match_python():
+    """Threaded C++ batch loaders return identical bytes to the Python
+    readers on the committed reference sketches."""
+    import pytest
+    from cuda_selection_criteria_tpu.native import fastx as native
+    from cuda_selection_criteria_tpu.utils import formats
+    from tests.conftest import reference_available
+
+    if not native.available():
+        pytest.skip("libfastx.so unavailable")
+    if not reference_available():
+        pytest.skip("reference corpus unavailable")
+    import glob
+    import numpy as np
+
+    base = "/root/reference/datasets/test_influenzaA"
+    hll = sorted(glob.glob(base + "/*.fna.gz.hll"))
+    smh = sorted(glob.glob(base + "/*.fna.gz.smh4"))
+    assert hll and smh
+    got = native.read_hll_batch(hll, 14, threads=4)
+    want = np.stack([formats.read_hll(f)[1] for f in hll])
+    np.testing.assert_array_equal(got, want)
+    got_s = native.read_smh_batch(smh, 4, threads=4)
+    want_s = np.stack([formats.read_smh(f) for f in smh])
+    np.testing.assert_array_equal(got_s, want_s)
+    # wrong p / m must error, not silently misparse
+    with pytest.raises(IOError):
+        native.read_hll_batch(hll, 10, threads=2)
+    with pytest.raises(IOError):
+        native.read_smh_batch(smh, 64, threads=2)

@@ -45,3 +45,42 @@ def test_sharded_equals_single_chip(mesh_shape):
         np.array([j for _, _, j in single]),
         np.array([j for _, _, j in sharded]),
     )
+
+
+def test_multihost_tile_slices_reassemble_exactly():
+    """Emulate a 3-process multihost run serially: the disjoint per-process
+    shards (parallel.distributed) must reassemble to the single-host
+    result in reference row order."""
+    import numpy as np
+    from cuda_selection_criteria_tpu.parallel import distributed
+    from cuda_selection_criteria_tpu.parallel.selection import SelectionParams
+    from cuda_selection_criteria_tpu.parallel.screened import select_pairs_screened
+    from tests.test_screen import _make_bank
+
+    rng = np.random.default_rng(41)
+    bank = _make_bank(24, 10, 16, rng)
+    params = SelectionParams(tau=0.15, criterion="smh_a")
+    single = select_pairs_screened(bank, params, ti=256, chunk=4)
+
+    shards = []
+    n_proc = 3
+    for pid in range(n_proc):
+        orig = distributed.tile_slice
+
+        def fake_slice(n_tiles, process_index=None, process_count=None,
+                       _pid=pid):
+            return orig(n_tiles, _pid, n_proc)
+
+        distributed.tile_slice = fake_slice
+        try:
+            shards.append(
+                distributed.select_pairs_multihost(bank, params, ti=256,
+                                                   chunk=2)
+            )
+        finally:
+            distributed.tile_slice = orig
+    merged = distributed.merge_multihost_results(shards)
+    assert [(a, b, round(j, 12)) for a, b, j in single] == [
+        (a, b, round(j, 12)) for a, b, j in merged
+    ]
+    assert len(single) > 0  # the planted pool guarantees some pairs
