@@ -192,8 +192,9 @@ def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
         interpret = _interpret_default()
     if r_sub is None:
         # Keep (in-blocks + widened operands + one f32 output block) x
-        # double-buffering inside the 16 MB VMEM budget at every tile size.
-        r_sub = max(256, (1 << 18) // max(ti, tj))
+        # double-buffering inside the 16 MB VMEM budget at every tile size
+        # (measured: 512x512 tiles fit r_sub=1024 but OOM at 2048).
+        r_sub = int(np.clip((1 << 19) // max(ti, tj), 256, 2048))
     values = tuple(sorted(values))
     n_tiles = row_tiles.shape[0]
     tail = np.float32(np.ldexp(float(1 << p), -values[-1]))

@@ -81,6 +81,35 @@ def _screen_chunk(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
     return hits, jnp.sum(hits, dtype=jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("n_bands", "ti", "use_cb", "use_smh"))
+def _gate_counts(e, fp, r_tiles, c_tiles, n_real, tau_cb, n_bands, ti,
+                 use_cb, use_smh):
+    """Per-tile count of pairs passing the cheap gates (CB + LSH
+    fingerprints + triangle) - the cascade's first stage, no MXU work.
+
+    Tiles with zero gate-passing pairs never pay for the harmonic-sum
+    kernel, exactly like the reference's `continue` past gate-failing
+    pairs before the union (src/selection.cpp:282-286)."""
+    row0 = r_tiles * ti
+    col0 = c_tiles * ti
+    ii = row0[:, None] + jnp.arange(ti, dtype=jnp.int32)[None, :]
+    jj = col0[:, None] + jnp.arange(ti, dtype=jnp.int32)[None, :]
+    e_a = e[ii]
+    e_b = e[jj]
+    gate = (ii[:, :, None] < jj[:, None, :]) & (jj[:, None, :] < n_real)
+    gate &= e_b[:, None, :] > 0
+    if use_cb:
+        gate &= e_a[:, :, None] >= tau_cb * e_b[:, None, :]
+    if use_smh:
+        fp_a = fp[ii]
+        fp_b = fp[jj]
+        band_hit = fp_a[:, :, None, 0] == fp_b[:, None, :, 0]
+        for band in range(1, n_bands):
+            band_hit |= fp_a[:, :, None, band] == fp_b[:, None, :, band]
+        gate &= band_hit
+    return jnp.sum(gate, axis=(1, 2), dtype=jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("p", "n_bands", "ti", "tj", "use_cb",
                                    "use_smh"))
 def _screen_post(s, z, e, fp, row0, col0, n_real, tau_scr, tau_cb, p,
@@ -197,6 +226,32 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
     # the oracle apply the exact f64 comparison.
     tau_cb = np.float32(tau * (1.0 - 1e-5))
 
+    # Cascade stage 1 (smh criteria): the cheap gates alone decide which
+    # tiles can contain candidates at all - pure VPU work, no harmonic
+    # sums. At production selectivities (LSH bands at tau=0.9 pass
+    # ~1e-4 of pairs, clustered) this skips the MXU kernel for almost
+    # every tile, exactly like the reference skipping the union for
+    # gate-failing pairs (src/selection.cpp:282-286).
+    if use_smh and len(rows) > 1:
+        gpend = []
+        gchunk = max(chunk, 256)
+        for c0 in range(0, len(rows), gchunk):
+            r_g = np.pad(rows[c0:c0 + gchunk],
+                         (0, max(0, gchunk - (len(rows) - c0))),
+                         constant_values=rows[-1])
+            c_g = np.pad(cols[c0:c0 + gchunk],
+                         (0, max(0, gchunk - (len(rows) - c0))),
+                         constant_values=cols[-1])
+            gpend.append(_gate_counts(
+                d_e, d_fp, jnp.asarray(r_g), jnp.asarray(c_g), jnp.int32(n),
+                tau_cb, n_bands, ti, use_cb, use_smh,
+            ))
+        gate_counts = np.concatenate([np.asarray(g) for g in gpend])
+        live = gate_counts[: len(rows)] > 0
+        if not live.any():
+            return []
+        rows, cols = rows[live], cols[live]
+
     # Pad the live-tile list to a chunk multiple with repeats of the last
     # tile (duplicate results are deduped below) so every dispatch reuses
     # one compiled shape.
@@ -206,6 +261,7 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
     rows = np.pad(rows, (0, n_sched - n_live), constant_values=rows[-1])
     cols = np.pad(cols, (0, n_sched - n_live), constant_values=cols[-1])
 
+    # Cascade stage 2: the fused screen kernel over surviving tiles.
     # Dispatch every chunk before fetching any result: the device pipelines
     # the screen kernels back-to-back. Then fetch ONE small array of
     # per-chunk hit counts, and pull full hit masks only for the (rare)
