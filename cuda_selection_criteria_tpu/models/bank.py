@@ -255,31 +255,101 @@ def sketch_codes_device(codes, k, p, aux_kind=None, aux_param=None):
     return regs, aux
 
 
+PACK_GENOMES = 64  # genomes per packed build dispatch (static shape)
+PACK_CODES = 1 << 22  # code budget per packed dispatch
+
+
+def _sketch_pack_device(pack, k, p, aux_kind, aux_param):
+    """One fused dispatch sketching up to PACK_GENOMES small genomes.
+
+    Each genome's code stream begins with a reset sentinel (the FASTA
+    readers emit a leading boundary), so k-mer windows never span genome
+    boundaries in the concatenated stream and a per-position genome-id
+    vector is sufficient - the multi-genome analog of the reference's
+    per-file OpenMP loop, at one device round-trip per 64 genomes instead
+    of ~three per genome.
+    """
+    codes = np.concatenate([c for _, c in pack])
+    gids = np.repeat(
+        np.arange(len(pack), dtype=np.int32),
+        [len(c) for _, c in pack],
+    )
+    blen = _bucket_len(codes.size)
+    if codes.size < blen:
+        pad = blen - codes.size
+        codes = np.concatenate(
+            [codes, np.full(pad, fasta.SENTINEL, np.uint8)]
+        )
+        gids = np.concatenate([gids, np.zeros(pad, np.int32)])
+    kms, valid = kmer_ops.canonical_kmers(jnp.asarray(codes), k)
+    d_gids = jnp.asarray(gids)
+    regs = hll_build.hll_build_batch(kms, valid, d_gids, p, PACK_GENOMES)
+    aux = None
+    if aux_kind == "hll":
+        aux = hll_build.hll_build_batch(
+            kms, valid, d_gids, aux_param, PACK_GENOMES
+        )
+    elif aux_kind == "smh":
+        aux = smh_build.smh_build_batch(
+            kms, valid, d_gids, aux_param, PACK_GENOMES
+        )
+    return regs, aux
+
+
 def build_bank_from_files(files, criterion=None, aux_bytes=256, k=DEFAULT_K,
                           io_threads=8):
     """Build a SketchBank from FASTA files (parity: build_sketch CLI).
 
     Host FASTA decode runs in a thread pool, overlapped with device sketch
     construction (the TPU answer to the reference's OpenMP dynamic loop,
-    src/build_sketch.cpp:232-238).
+    src/build_sketch.cpp:232-238). Small genomes are packed PACK_GENOMES
+    per dispatch (sentinel-separated streams + per-position genome ids);
+    genomes above the pack budget stream through the chunked per-genome
+    path.
     """
     aux_kind = aux_param = None
     if criterion in ("hll_a", "hll_an"):
         aux_kind, aux_param = "hll", _ctz(aux_bytes)
     elif criterion == "smh_a":
         aux_kind, aux_param = "smh", vecsize(aux_bytes // 8)
+    if aux_kind == "smh":
+        pack_codes = min(PACK_CODES, (1 << 26) // max(1, aux_param))
+    else:
+        pack_codes = PACK_CODES
 
     regs_list = [None] * len(files)
     aux_list = [None] * len(files)
+    pack = []  # [(file_idx, codes)]
+    pack_size = 0
+
+    def flush():
+        nonlocal pack, pack_size
+        if not pack:
+            return
+        regs, aux = _sketch_pack_device(pack, k, PRIMARY_P, aux_kind,
+                                        aux_param)
+        for slot, (i, _) in enumerate(pack):
+            regs_list[i] = regs[slot]
+            if aux is not None:
+                aux_list[i] = aux[slot]
+        pack = []
+        pack_size = 0
 
     with ThreadPoolExecutor(max_workers=io_threads) as pool:
         codes_iter = pool.map(fasta.fasta_codes, files)
         for i, codes in enumerate(codes_iter):
-            regs, aux = sketch_codes_device(
-                codes, k, PRIMARY_P, aux_kind, aux_param
-            )
-            regs_list[i] = regs
-            aux_list[i] = aux
+            if codes.size > pack_codes:
+                regs, aux = sketch_codes_device(
+                    codes, k, PRIMARY_P, aux_kind, aux_param
+                )
+                regs_list[i] = regs
+                aux_list[i] = aux
+                continue
+            if pack_size + codes.size > pack_codes or len(pack) == PACK_GENOMES:
+                flush()
+            pack.append((i, codes))
+            pack_size += codes.size
+        flush()
 
     regs = np.stack([np.asarray(r) for r in regs_list])
     aux = (

@@ -25,6 +25,7 @@ tests/test_smh.py against the committed .smh4/.smh64 files.
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -135,7 +136,7 @@ def smh_build_batch_j0(kmers, valid, genome_ids, m, n_genomes):
     vals = jnp.where(valid, biased, i32_max)
     n_seg = n_genomes * m
 
-    if n_seg <= 4096:
+    if n_seg <= 256:
         # Few segments -> a scatter-min serializes on index collisions
         # (~400 ms/M items); a dense masked min over (chunk, n_seg) tiles
         # is pure VPU work instead (~10x faster).
@@ -161,16 +162,34 @@ def smh_build_batch_j0(kmers, valid, genome_ids, m, n_genomes):
         )
         h32 = h32.reshape(n_genomes, m)
     else:
-        h32 = jax.ops.segment_min(
-            vals, seg, num_segments=n_seg,
+        # Collision splitting: TPU scatters serialize on duplicate indices,
+        # so spread each segment over K interleaved sub-slots (collisions
+        # drop ~Kx) and fold the sub-slots with one dense min.
+        t = vals.shape[0]
+        k_split = int(np.clip(t // max(1, n_seg), 1, 256))
+        sub = (
+            jnp.arange(t, dtype=jnp.int32) % k_split
+            if k_split > 1 else jnp.zeros(t, jnp.int32)
+        )
+        part = jax.ops.segment_min(
+            vals, seg * k_split + sub, num_segments=n_seg * k_split,
+        )
+        h32 = jnp.min(
+            part.reshape(n_seg, k_split), axis=1
         ).reshape(n_genomes, m)
     h = jnp.where(
         h32 == i32_max,
         U64_MAX,
         (h32.astype(jnp.uint32) ^ jnp.uint32(0x80000000)).astype(jnp.uint64),
     )
-    complete = jnp.max(h) < jnp.uint64(1) << 32
-    return h, complete
+    # A genome is exactly covered if every bucket got a j=0 winner, OR it
+    # has no items at all (its exact h_ is all-U64_MAX either way - this
+    # keeps padded slots of packed multi-genome builds from forcing the
+    # slow path).
+    g_ok = (jnp.max(h, axis=1) < jnp.uint64(1) << 32) | (
+        jnp.min(h, axis=1) == U64_MAX
+    )
+    return h, jnp.all(g_ok)
 
 
 def smh_build_batch(kmers, valid, genome_ids, m, n_genomes):

@@ -112,7 +112,6 @@ def select_pairs_sharded(bank, params, mesh=None):
     extracts results host-side in reference order. Suitable when the full
     (N, N) mask fits in memory; the tiled engine handles larger N per chip.
     """
-    from .selection import SelectionParams  # noqa: PLC0415 (cycle guard)
 
     if mesh is None:
         mesh = make_mesh()

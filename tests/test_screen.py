@@ -22,7 +22,6 @@ from cuda_selection_criteria_tpu.parallel.screened import (
 from cuda_selection_criteria_tpu.parallel.selection import SelectionParams
 from cuda_selection_criteria_tpu.models.bank import SketchBank
 from cuda_selection_criteria_tpu.utils.hostref import select_pairs_host
-from tests import refmodels
 
 
 def _ref_s_z(ra, rb):
