@@ -1,5 +1,5 @@
 """Host-side utilities: file formats, FASTA ingest, timing, config."""
 
-from . import formats, fasta, filelist, timer
+from . import formats, fasta, filelist, timer, profiling
 
 __all__ = ["formats", "fasta", "filelist", "timer"]

@@ -161,3 +161,13 @@ def test_native_batch_loaders_match_python():
         native.read_hll_batch(hll, 10, threads=2)
     with pytest.raises(IOError):
         native.read_smh_batch(smh, 64, threads=2)
+
+
+def test_profiling_timed_emits_row(capsys):
+    import jax.numpy as jnp
+    from cuda_selection_criteria_tpu.utils.profiling import timed
+
+    with timed("region") as sink:
+        sink["x"] = jnp.arange(8).sum()
+    out = capsys.readouterr().out
+    assert out.startswith("region;")

@@ -165,6 +165,7 @@ def _make_bank(n, p, m, rng, pool_size=8000):
 
 @pytest.mark.parametrize("crit,tau", [
     ("smh_a", 0.2), ("cb", 0.2), ("baseline", 0.3), ("smh_only", 0.2),
+    ("smh_a", 0.02),  # the comparison experiment's low-tau regime
 ])
 def test_screened_engine_matches_host(crit, tau):
     rng = np.random.default_rng(17)
