@@ -38,12 +38,48 @@ from ..utils.hostref import PairOracle
 from . import scheduler
 
 SCREEN_DELTA_DEFAULT = 0.08
+# ORIGINAL-vs-MLE deviation bound for the small AUX sketches (p_aux in
+# 5..8): the deterministic deviation reaches ~27% at p=6 near the
+# linear-counting transition (measured in tests/test_screen.py), so the
+# margin is very generous - aux-screen false positives only add
+# exact-confirmation work, false negatives would lose pairs.
+SCREEN_DELTA_AUX = 0.75
 
 
 def screen_tau(tau, delta=SCREEN_DELTA_DEFAULT):
     """Conservative screen threshold: J_orig >= screen_tau(tau) whenever
     J_mle >= tau, given |t_orig/t_mle - 1| <= delta."""
     return (1.0 + float(tau)) / (1.0 + float(delta)) - 1.0
+
+
+def hll_aux_threshold_coef(criterion, tau, zs, order_n):
+    """Coefficient c with: the exact aux gate passes only if
+    t_aux <= c * (e1 + e2).
+
+    hll_a (criteria_sketch.hpp:60-64): K+ >= tau with t+ = t/(1+Z*sigma)
+    and (1+gamma)*e2 = e1+e2, so pass <=> t <= (1+zs)(e1+e2)/(1+tau).
+
+    hll_an (criteria_sketch.hpp:52-58): J + C >= tau with
+    C = min(1, (1+zs)e2/t) * (1+gamma) * s, s = sum_{k<=n} (zs)^k.
+      - min != 1 case: pass <=> t <= (e1+e2)(1 + (1+zs)s)/(1+tau);
+      - min == 1 case: C <= 2s (gamma <= 1 after the sort), so
+        pass => t <= (e1+e2)/(1+tau-2s)  (None = gate can't prune when
+        1+tau-2s <= 0).
+    The max of the two cases is a valid one-sided bound for the screen.
+    """
+    tau = float(tau)
+    zs = float(zs)
+    if criterion == "hll_a":
+        return (1.0 + zs) / (1.0 + tau)
+    s = 0.0
+    num = 1.0
+    for _ in range(order_n):
+        num *= zs
+        s += num
+    c_b = (1.0 + (1.0 + zs) * s) / (1.0 + tau)
+    if 1.0 + tau - 2.0 * s <= 0.0:
+        return None  # gate passes everything at this tau/Z - skip screening
+    return max(c_b, 1.0 / (1.0 + tau - 2.0 * s))
 
 
 def band_fingerprints(aux, n_rows, n_bands):
@@ -78,6 +114,48 @@ def _screen_chunk(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
         s, z, e, fp, r_tiles * ti, c_tiles * ti, n_real, tau_scr, tau_cb,
         p, n_bands, ti, ti, use_cb, use_smh,
     )
+    return hits, jnp.sum(hits, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("p", "values", "p_aux", "values_aux",
+                                   "ti"))
+def _screen_chunk_hllaux(regs, aux_regs, r_tiles, c_tiles, e, n_real,
+                         tau_scr, tau_cb, coef_aux, p, values, p_aux,
+                         values_aux, ti):
+    """Fused dispatch for hll_a/hll_an: primary screen + aux-union gate.
+
+    The aux gate is the same harmonic-sum machinery at p_aux (registers
+    32..256 long, ~1% of the primary cost): the exact gate only passes
+    when t_aux <= coef * (e1+e2) (hll_aux_threshold_coef), so the screen
+    tests the conservative ORIGINAL-estimator version of that threshold -
+    raw branch division-free, linear-counting branch separable."""
+    from ..ops.screen import screen_s_z
+    from ..ops.estimators import make_alpha
+
+    s, z = screen_s_z(regs, r_tiles, c_tiles, p, values, ti=ti, tj=ti)
+    hits = _screen_post(
+        s, z, e, None, r_tiles * ti, c_tiles * ti, n_real, tau_scr, tau_cb,
+        p, 1, ti, ti, True, False,
+    )
+
+    s_a, z_a = screen_s_z(aux_regs, r_tiles, c_tiles, p_aux, values_aux,
+                          ti=ti, tj=ti)
+    m_a = 1 << p_aux
+    alpha_a = np.float32(make_alpha(m_a))
+    row0 = r_tiles * ti
+    col0 = c_tiles * ti
+    ii = row0[:, None] + jnp.arange(ti, dtype=jnp.int32)[None, :]
+    jj = col0[:, None] + jnp.arange(ti, dtype=jnp.int32)[None, :]
+    e_sum = e[ii][:, :, None] + e[jj][:, None, :]
+    c32 = coef_aux.astype(jnp.float32)
+    aux_pass = s_a * e_sum * c32 >= alpha_a * np.float32(m_a) * np.float32(m_a)
+    if z_a is not None:
+        v_i = jnp.exp(-c32 * e[ii] / m_a)  # rows only
+        v_j = jnp.exp(-c32 * e[jj] / m_a)
+        aux_pass |= (z_a > 0) & (
+            z_a >= m_a * v_i[:, :, None] * v_j[:, None, :]
+        )
+    hits &= aux_pass
     return hits, jnp.sum(hits, dtype=jnp.int32)
 
 
@@ -218,6 +296,19 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
         n_rows_b, n_bands = 1, 1
         d_fp = jnp.zeros((n_pad, 1), jnp.int32)
 
+    # Device aux-union gate for the HLL-aux criteria: the exact gate only
+    # passes when t_aux <= coef * (e1+e2), so the aux sketches get the same
+    # harmonic-sum screen at p_aux (~1% of the primary cost). coef is
+    # inflated by the aux estimator-deviation margin here.
+    coef_aux = values_aux = d_aux_regs = None
+    if crit in ("hll_a", "hll_an"):
+        zs = criteria.z_sigma(params.z_score, bank.aux_param)
+        coef = hll_aux_threshold_coef(crit, tau, zs, params.order_n)
+        if coef is not None:
+            coef_aux = jnp.float32(coef * (1.0 + SCREEN_DELTA_AUX))
+            values_aux = screen.bank_values(aux_s)
+            d_aux_regs = jnp.asarray(aux_p)
+
     d_regs = jnp.asarray(regs_p)
     d_e = jnp.asarray(e_p.astype(np.float32))
     values = screen.bank_values(regs_s)
@@ -271,11 +362,18 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
     for c0 in range(0, n_sched, chunk):
         r_chunk = rows[c0:c0 + chunk]
         c_chunk = cols[c0:c0 + chunk]
-        hits, cnt = _screen_chunk(
-            d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk), d_e, d_fp,
-            jnp.int32(n), tau_scr, tau_cb, bank.p, values, ti,
-            n_bands, use_cb, use_smh,
-        )
+        if coef_aux is not None:
+            hits, cnt = _screen_chunk_hllaux(
+                d_regs, d_aux_regs, jnp.asarray(r_chunk),
+                jnp.asarray(c_chunk), d_e, jnp.int32(n), tau_scr, tau_cb,
+                coef_aux, bank.p, values, bank.aux_param, values_aux, ti,
+            )
+        else:
+            hits, cnt = _screen_chunk(
+                d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk), d_e,
+                d_fp, jnp.int32(n), tau_scr, tau_cb, bank.p, values, ti,
+                n_bands, use_cb, use_smh,
+            )
         pending.append((r_chunk, c_chunk, hits, cnt))
 
     counts = np.asarray(jnp.stack([c for _, _, _, c in pending]))

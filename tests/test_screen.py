@@ -232,3 +232,60 @@ def test_screened_engine_matches_host_hll_aux(crit):
     assert [(a, b, round(j, 12)) for a, b, j in host] == [
         (a, b, round(j, 12)) for a, b, j in got
     ]
+
+
+@pytest.mark.parametrize("p", [5, 6, 8])
+def test_screen_delta_aux_bounds_small_p(p):
+    """The aux-screen margin must cover ORIGINAL-vs-MLE deviation at the
+    small aux precisions (p_aux = ctz(aux_bytes) in 5..8)."""
+    from cuda_selection_criteria_tpu.parallel.screened import SCREEN_DELTA_AUX
+
+    rng = np.random.default_rng(7)
+    q = 64 - p
+    worst = 0.0
+    for n_items in [5, 30, 100, 500, 2000, 10**4, 10**6]:
+        regs = _simulate_registers(n_items, p, rng, trials=16)
+        counts = np.stack([
+            np.bincount(row, minlength=q + 2)[: q + 2] for row in regs
+        ])
+        t_mle = np.asarray(estimators.ertl_mle(jnp.asarray(counts), p))
+        s = np.ldexp(1.0, -regs.astype(np.int64)).sum(-1)
+        z = counts[:, 0].astype(np.float64)
+        t_orig = np.asarray(
+            screen.original_from_s_z(
+                jnp.asarray(s, jnp.float32), jnp.asarray(z, jnp.float32), p
+            )
+        )
+        ok = np.isfinite(t_mle) & (t_mle > 0)
+        worst = max(worst, float(np.max(np.abs(t_orig[ok] / t_mle[ok] - 1.0))))
+    assert worst < SCREEN_DELTA_AUX / 1.5, worst  # >= 50% headroom
+
+
+def test_hll_aux_threshold_coef_is_one_sided():
+    """Exact-gate pass implies the threshold test, across a tau/zs sweep."""
+    from cuda_selection_criteria_tpu.parallel.screened import (
+        hll_aux_threshold_coef,
+    )
+
+    rng = np.random.default_rng(3)
+    for crit in ("hll_a", "hll_an"):
+        for tau in (0.1, 0.5, 0.9):
+            for zs in (0.05, 0.12, 0.2):
+                coef = hll_aux_threshold_coef(crit, tau, zs, order_n=1)
+                if coef is None:
+                    continue
+                for _ in range(300):
+                    e2 = rng.uniform(10, 1e6)
+                    e1 = rng.uniform(1, e2)  # sorted: e1 <= e2
+                    t = rng.uniform(1, 3 * (e1 + e2))
+                    if crit == "hll_a":
+                        t_hat_mas = t / (1.0 + zs)
+                        passes = ((1 + e1 / e2) * e2 - t_hat_mas) / t_hat_mas >= tau
+                    else:
+                        j_hat = (e1 + e2 - t) / t
+                        c = min(1.0, (1 + zs) * e2 / t) * (1 + e1 / e2) * zs
+                        passes = j_hat + c >= tau
+                    if passes:
+                        assert t <= coef * (e1 + e2) * (1 + 1e-12), (
+                            crit, tau, zs, t / (e1 + e2), coef
+                        )
