@@ -289,3 +289,48 @@ def test_hll_aux_threshold_coef_is_one_sided():
                         assert t <= coef * (e1 + e2) * (1 + 1e-12), (
                             crit, tau, zs, t / (e1 + e2), coef
                         )
+
+
+def test_screened_engine_edge_cases():
+    """n=2, zero-cardinality genomes, and exact tile-multiple banks."""
+    rng = np.random.default_rng(53)
+    bank = _make_bank(2, 10, 16, rng)
+    params = SelectionParams(tau=0.1, criterion="smh_a")
+    host = select_pairs_host(bank, 0.1, "smh_a")
+    got = select_pairs_screened(bank, params, ti=256, chunk=2)
+    assert [(a, b) for a, b, _ in host] == [(a, b) for a, b, _ in got]
+
+    # a bank with empty genomes (zero registers, cardinality 0)
+    bank2 = _make_bank(10, 10, 16, rng)
+    bank2.regs[3] = 0
+    bank2.aux[3] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    bank2.regs[7] = 0
+    bank2.aux[7] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    bank2.compute_cards()
+    host2 = select_pairs_host(bank2, 0.1, "smh_a")
+    got2 = select_pairs_screened(bank2, SelectionParams(tau=0.1,
+                                                        criterion="smh_a"),
+                                 ti=256, chunk=2)
+    assert [(a, b, round(j, 12)) for a, b, j in host2] == [
+        (a, b, round(j, 12)) for a, b, j in got2
+    ]
+
+
+def test_screened_engine_fuzz_matches_host():
+    """Randomized differential fuzz: random overlap structures and taus."""
+    for seed, tau, crit in [
+        (101, 0.35, "smh_a"), (102, 0.6, "cb"), (103, 0.05, "smh_a"),
+        (104, 0.45, "hll_a"), (105, 0.25, "hll_an"),
+    ]:
+        rng = np.random.default_rng(seed)
+        if crit in ("hll_a", "hll_an"):
+            bank = _make_bank_hll_aux(16, 10, 6, rng)
+        else:
+            bank = _make_bank(16, 10, 16, rng)
+        host = select_pairs_host(bank, tau, crit)
+        got = select_pairs_screened(
+            bank, SelectionParams(tau=tau, criterion=crit), ti=256, chunk=3
+        )
+        assert [(a, b, round(j, 12)) for a, b, j in host] == [
+            (a, b, round(j, 12)) for a, b, j in got
+        ], (seed, tau, crit)
