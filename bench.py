@@ -30,7 +30,7 @@ M_SMH = 32  # aux_bytes=256 default -> m=32 buckets
 TAU = 0.9
 TI = 512
 CHUNK = 128
-N_GENOMES = 12288
+N_GENOMES = 16384
 ITEMS_PER_GENOME = 2048
 
 
