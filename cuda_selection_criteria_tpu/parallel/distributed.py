@@ -145,14 +145,12 @@ def select_pairs_multihost(bank, params, ti=512, chunk=64):
         order_n=params.order_n, apply_cb=use_cb,
     )
     names = bank.names
-    out = []
-    for i, j in cand:
-        selected, jacc = oracle.evaluate(i, j)
-        if selected:
-            out.append((i, j, names[order[i]], names[order[j]], jacc))
     # Keys (i, j) are global sorted positions: concatenating shards and
     # sorting on them reproduces the single-host row order exactly.
-    return out
+    return [
+        (i, j, names[order[i]], names[order[j]], jacc)
+        for i, j, jacc in oracle.confirm_pairs(cand)
+    ]
 
 
 def merge_multihost_results(shards):

@@ -393,12 +393,10 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
         order_n=params.order_n, apply_cb=use_cb,
     )
     names = bank.names
-    out = []
-    for i, j in cand:
-        selected, jacc = oracle.evaluate(i, j)
-        if selected:
-            out.append((names[order[i]], names[order[j]], jacc))
-    return out
+    return [
+        (names[order[i]], names[order[j]], jacc)
+        for i, j, jacc in oracle.confirm_pairs(cand)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -523,9 +521,7 @@ def select_pairs_screened_sharded(bank, params, mesh=None, ti=512):
         order_n=params.order_n, apply_cb=use_cb,
     )
     names = bank.names
-    out = []
-    for i, j in cand:
-        selected, jacc = oracle.evaluate(i, j)
-        if selected:
-            out.append((names[order[i]], names[order[j]], jacc))
-    return out
+    return [
+        (names[order[i]], names[order[j]], jacc)
+        for i, j, jacc in oracle.confirm_pairs(cand)
+    ]

@@ -117,23 +117,23 @@ class PairOracle:
         elif criterion in ("hll_a", "hll_an"):
             self.zs = np.float64(np.float32(z_score) * np.float32(sigma(aux_param)))
 
-    def evaluate(self, i, k):
-        """Full exact cascade for sorted-pair (i, k): (selected, jacc)."""
+    def gates_pass(self, i, k):
+        """Exact pruning cascade up to (excluding) the primary union."""
         e1, e2 = self.e[i], self.e[k]
         if e2 == 0:
-            return False, None
+            return False
         if self.apply_cb and not (e1 / e2 >= self.tau):
-            return False, None
+            return False
         crit = self.criterion
         if crit in ("smh_a", "smh_only"):
             if not smh_a(self.aux[i], self.aux[k], self.n_rows, self.n_bands):
-                return False, None
+                return False
         elif crit == "hll_a":
             t_hat = int(union_size(self.aux[i], self.aux[k], self.aux_param))
             t_hat_mas = t_hat / (1.0 + self.zs)
             k_mas = ((1.0 + e1 / e2) * e2 - t_hat_mas) / t_hat_mas
             if not (k_mas >= self.tau):
-                return False, None
+                return False
         elif crit == "hll_an":
             t_hat = union_size(self.aux[i], self.aux[k], self.aux_param)
             j_hat = (e1 + e2 - t_hat) / t_hat
@@ -144,10 +144,42 @@ class PairOracle:
                 s += num
             c_corr = min(1.0, (1.0 + self.zs) * e2 / t_hat) * (1.0 + e1 / e2) * s
             if not (j_hat + c_corr >= self.tau):
-                return False, None
+                return False
+        return True
+
+    def evaluate(self, i, k):
+        """Full exact cascade for sorted-pair (i, k): (selected, jacc)."""
+        if not self.gates_pass(i, k):
+            return False, None
         t = union_size(self.regs[i], self.regs[k], self.p)
-        jacc = (e1 + e2 - t) / t
+        jacc = (self.e[i] + self.e[k] - t) / t
         return (jacc >= self.tau), float(jacc)
+
+    def confirm_pairs(self, pairs, batch=2048):
+        """Exact cascade over many candidate pairs: [(i, k, jacc)] for the
+        selected ones, in input order.
+
+        The primary unions are batched: one vectorized max-merge plus ONE
+        bincount per chunk replaces the per-pair register scan (the f64
+        MLE itself stays the scalar reference loop, so every selected
+        Jaccard is bit-identical to evaluate())."""
+        gated = [(i, k) for (i, k) in pairs if self.gates_pass(i, k)]
+        out = []
+        for c0 in range(0, len(gated), batch):
+            chunk = gated[c0:c0 + batch]
+            ii = np.fromiter((i for i, _ in chunk), np.int64, len(chunk))
+            kk = np.fromiter((k for _, k in chunk), np.int64, len(chunk))
+            merged = np.maximum(self.regs[ii], self.regs[kk]).astype(np.int64)
+            offs = (np.arange(len(chunk))[:, None] * 64 + merged).ravel()
+            hists = np.bincount(
+                offs, minlength=len(chunk) * 64
+            ).reshape(len(chunk), 64)
+            for (i, k), c in zip(chunk, hists):
+                t = ertl_mle_scalar(c, self.p)
+                jacc = (self.e[i] + self.e[k] - t) / t
+                if jacc >= self.tau:
+                    out.append((i, k, float(jacc)))
+        return out
 
 
 def select_pairs_host(bank, tau, criterion, z_score=1.96, order_n=1,
