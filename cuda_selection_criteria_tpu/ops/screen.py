@@ -23,8 +23,9 @@ gives
 
 This Pallas kernel generates the indicator matrices on the fly in VMEM
 (the register bank is read from HBM exactly once per tile) and
-accumulates the weighted matmuls on the MXU - ~2*vmax*2^p bf16 flops
-per pair and no intermediate materialization. The selection engine
+accumulates the weighted matmuls on the MXU (int8 operands, int32
+accumulation) - ~2 * n_present_values * 2^p ops per pair and no
+intermediate materialization. The selection engine
 screens with a conservative relative margin delta (ORIGINAL vs ERTL-MLE
 deviation, measured in tests/test_screen.py) and re-confirms survivors
 with the exact estimator, so emitted pairs are bit-identical to the
@@ -42,22 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _interpret_default():
     return jax.default_backend() != "tpu"
-
-
-def v_bins_for(regs_max):
-    """Static bin-count bucket covering register values <= regs_max.
-
-    Rounded up to a multiple of 4 to bound recompiles; 51 == q+1 at p=14
-    is the absolute ceiling for any input.
-    """
-    return int(min(51, max(8, -(-int(regs_max + 1) // 4) * 4)))
-
-
-def v_lo_for(regs_min):
-    """Static low-bin bucket: CDF[v] == 0 for v < the bank-wide minimum
-    register value, so those matmuls are skipped (large genomes saturate
-    every register past 0). Rounded down to a multiple of 4."""
-    return int(max(0, (int(regs_min) // 4) * 4))
 
 
 def _weighted_cdf_sum(regs, row_tiles, col_tiles, p, weights, ti, tj,
@@ -148,17 +133,6 @@ def bank_values(regs):
     log2(n/m)), typically halving the matmul count vs a dense 0..vmax scan.
     """
     return tuple(int(v) for v in np.unique(np.asarray(regs)))
-
-
-def v_bins_for(regs_max):
-    """Dense fallback value set 0..regs_max (bucketed to multiples of 4)."""
-    hi = int(min(51, max(8, -(-int(regs_max + 1) // 4) * 4)))
-    return tuple(range(hi))
-
-
-def v_lo_for(regs_min):
-    """Deprecated shim (value-set API supersedes the v_lo optimization)."""
-    return int(max(0, (int(regs_min) // 4) * 4))
 
 
 @partial(jax.jit, static_argnames=("p", "values", "ti", "tj",
