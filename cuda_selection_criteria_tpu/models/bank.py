@@ -259,6 +259,28 @@ PACK_GENOMES = 64  # genomes per packed build dispatch (static shape)
 PACK_CODES = 1 << 22  # code budget per packed dispatch
 
 
+from functools import partial as _partial
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("k", "p", "aux_kind", "aux_param"))
+def _pack_pipeline(codes, gids, k, p, aux_kind, aux_param):
+    """codes -> (regs, aux, smh_complete) in ONE device dispatch."""
+    kms, valid = kmer_ops.canonical_kmers(codes, k)
+    regs = hll_build.hll_build_batch(kms, valid, gids, p, PACK_GENOMES)
+    aux = None
+    complete = jnp.bool_(True)
+    if aux_kind == "hll":
+        aux = hll_build.hll_build_batch(
+            kms, valid, gids, aux_param, PACK_GENOMES
+        )
+    elif aux_kind == "smh":
+        aux, complete = smh_build.smh_build_batch_j0(
+            kms, valid, gids, aux_param, PACK_GENOMES
+        )
+    return regs, aux, complete
+
+
 def _sketch_pack_device(pack, k, p, aux_kind, aux_param):
     """One fused dispatch sketching up to PACK_GENOMES small genomes.
 
@@ -266,8 +288,9 @@ def _sketch_pack_device(pack, k, p, aux_kind, aux_param):
     readers emit a leading boundary), so k-mer windows never span genome
     boundaries in the concatenated stream and a per-position genome-id
     vector is sufficient - the multi-genome analog of the reference's
-    per-file OpenMP loop, at one device round-trip per 64 genomes instead
-    of ~three per genome.
+    per-file OpenMP loop, at ONE device round-trip per 64 genomes (scan +
+    HLL + SuperMinHash-j0 fused in a single jit; the rare j0-incomplete
+    pack falls back to the exact full SuperMinHash pass).
     """
     codes = np.concatenate([c for _, c in pack])
     gids = np.repeat(
@@ -281,17 +304,13 @@ def _sketch_pack_device(pack, k, p, aux_kind, aux_param):
             [codes, np.full(pad, fasta.SENTINEL, np.uint8)]
         )
         gids = np.concatenate([gids, np.zeros(pad, np.int32)])
-    kms, valid = kmer_ops.canonical_kmers(jnp.asarray(codes), k)
-    d_gids = jnp.asarray(gids)
-    regs = hll_build.hll_build_batch(kms, valid, d_gids, p, PACK_GENOMES)
-    aux = None
-    if aux_kind == "hll":
-        aux = hll_build.hll_build_batch(
-            kms, valid, d_gids, aux_param, PACK_GENOMES
-        )
-    elif aux_kind == "smh":
-        aux = smh_build.smh_build_batch(
-            kms, valid, d_gids, aux_param, PACK_GENOMES
+    regs, aux, complete = _pack_pipeline(
+        jnp.asarray(codes), jnp.asarray(gids), k, p, aux_kind, aux_param
+    )
+    if aux_kind == "smh" and not bool(complete):
+        kms, valid = kmer_ops.canonical_kmers(jnp.asarray(codes), k)
+        aux = smh_build.smh_build_batch_full(
+            kms, valid, jnp.asarray(gids), aux_param, PACK_GENOMES
         )
     return regs, aux
 
