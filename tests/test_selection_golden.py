@@ -80,3 +80,10 @@ def test_small_blocks_tile_boundaries():
 
 def test_int8_precision_path():
     assert _run("smh_a", aux_bytes=32, precision="int8") == _golden_lines()
+
+
+def test_golden_screened_engine_p14():
+    """The fused screened engine (forced, interpret mode on CPU) must
+    reproduce the golden pairs at the flagship p=14 configuration - the
+    same engine/config the TPU runs."""
+    assert _run("smh_a", aux_bytes=32, engine="screened") == _golden_lines()
