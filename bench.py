@@ -7,7 +7,8 @@ estimator Jaccard screen) - over the FULL i<j pair triangle of a
 synthetic sketch bank built through the real device pipeline, on whatever
 backend jax.devices() provides (the driver runs this on one real TPU chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus the
+raw-kernel rate and achieved int8-MXU utilization as extra keys}.
 
 vs_baseline: the reference publishes no absolute numbers (BASELINE.md), so
 the baseline is the reference CUDA kernel's speed-of-light on its target
@@ -16,9 +17,16 @@ hardware (Makefile:26 -arch=sm_86, RTX 3080-class): kernel_CBsmh reads both
 at 760 GB/s HBM the union stage tops out at 760e9 / 32768 = 2.32e7 pairs/s.
 That DRAM-bound bound ignores the estimator math, so it flatters the
 reference; beating it by >10x is the BASELINE.json north star.
+
+Robustness (VERDICT round 1): the synthetic bank is cached to /tmp across
+runs, compiled executables persist in a jax compilation cache, and a
+transient TPU backend error triggers ONE re-exec after a backoff - so the
+driver's capture lands within its timeout even on a cold, flaky tunnel.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -33,8 +41,29 @@ CHUNK = 128
 N_GENOMES = 16384
 ITEMS_PER_GENOME = 2048
 
+BANK_CACHE = f"/tmp/csc_bench_bank_v2_{N_GENOMES}x{ITEMS_PER_GENOME}.npz"
+COMPILE_CACHE = "/tmp/csc_jax_compile_cache"
+RETRY_ENV = "CSC_BENCH_ATTEMPT"
+
+# v5e int8 MXU peak: 394 TOPS (2x the 197 TFLOP/s bf16 peak).
+V5E_INT8_OPS_PER_SEC = 394e12
+
+
+def _configure_jax():
+    import jax
+
+    os.makedirs(COMPILE_CACHE, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", COMPILE_CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def _build_bank():
+    """Synthetic bank through the real device build pipeline, cached to
+    /tmp so only the first-ever run pays the ~3-minute build phase."""
+    if os.path.exists(BANK_CACHE):
+        z = np.load(BANK_CACHE)
+        return z["regs"], z["aux"], z["e"]
+
     import jax.numpy as jnp
     from cuda_selection_criteria_tpu.ops import hll_build, smh_build, estimators
 
@@ -61,14 +90,28 @@ def _build_bank():
     cards = np.asarray(
         estimators.ertl_mle_from_regs(jnp.asarray(regs), P)
     )
-    return regs, aux, np.trunc(cards)
+    e = np.trunc(cards)
+    tmp = BANK_CACHE + f".tmp{os.getpid()}"
+    np.savez(tmp, regs=regs, aux=aux, e=e)
+    os.replace(tmp, BANK_CACHE)
+    return regs, aux, e
 
 
-def main():
+def _run():
     import jax
     import jax.numpy as jnp
     from cuda_selection_criteria_tpu.ops import criteria, screen
     from cuda_selection_criteria_tpu.parallel import screened
+
+    # The Pallas screen must COMPILE on accelerator backends; interpret
+    # mode (~1e4x slower) would otherwise blow the capture timeout
+    # silently. ops/screen.py interprets only on the cpu backend.
+    if screen._interpret_default():
+        raise SystemExit(
+            f"bench.py requires a compiled Pallas backend; "
+            f"jax.default_backend()={jax.default_backend()!r} would "
+            f"interpret. Run on the TPU."
+        )
 
     regs, aux, e = _build_bank()
     order = np.argsort(e, kind="stable")
@@ -93,8 +136,6 @@ def main():
     n_sched = -(-len(tiles) // CHUNK) * CHUNK
     rows = np.pad(rows, (0, n_sched - len(tiles)), constant_values=rows[-1])
     cols = np.pad(cols, (0, n_sched - len(tiles)), constant_values=cols[-1])
-
-    interpret = jax.default_backend() not in ("tpu", "axon")
 
     def sweep(tau_jitter):
         """One full all-pairs screened pass; returns total screen hits.
@@ -121,15 +162,56 @@ def main():
                 total += int(np.asarray(h).sum())
         return total
 
+    pairs = N_GENOMES * (N_GENOMES - 1) // 2
+
     sweep(0.0)  # warmup / compile
     reps = 3
     t0 = time.perf_counter()
     for k in range(reps):
         sweep(k * 1e-7)  # jitter defeats any transparent result caching
     dt = (time.perf_counter() - t0) / reps
-
-    pairs = N_GENOMES * (N_GENOMES - 1) // 2
     pairs_per_sec = pairs / dt
+
+    # --- raw kernel sweep: the device screen kernel ONLY (bank resident,
+    # schedule precomputed, no gate postprocess, no mask fetch) - the
+    # reference's kernel-timing protocol (time_smh_cuda.cpp:276-307, with
+    # the sync the reference forgot). Fresh tile permutations per rep
+    # defeat relay-level result caching.
+    def _raw_chunk(bank_regs, r_tiles, c_tiles):
+        s, z = screen.screen_s_z(bank_regs, r_tiles, c_tiles, P, values,
+                                 ti=TI, tj=TI)
+        tot = jnp.sum(s, dtype=jnp.float32)
+        if z is not None:
+            tot += jnp.sum(z, dtype=jnp.float32)
+        return tot
+
+    raw_chunk = jax.jit(_raw_chunk)
+    rng = np.random.default_rng(7)
+
+    def raw_sweep():
+        perm = rng.permutation(n_sched)
+        rp, cp = rows[perm], cols[perm]
+        sums = []
+        for c0 in range(0, n_sched, CHUNK):
+            sums.append(raw_chunk(d_regs, jnp.asarray(rp[c0:c0 + CHUNK]),
+                                  jnp.asarray(cp[c0:c0 + CHUNK])))
+        return float(jnp.stack(sums).sum())  # one blocking scalar fetch
+
+    raw_sweep()  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        raw_sweep()
+    raw_dt = (time.perf_counter() - t0) / reps
+    # The schedule covers diagonal tiles too: count scheduled tile-pairs,
+    # not triangle pairs, for the raw kernel rate.
+    sched_pairs = n_sched * TI * TI
+    raw_pairs_per_sec = sched_pairs / raw_dt
+    # int8-MXU ops per scheduled pair: one (TI x R) @ (R x TI) indicator
+    # matmul per telescope bin (len(values) - 1 bins; the top value is the
+    # closed-form tail, and Z rides the v=0 matmul in the same pass).
+    ops_per_pair = 2 * (len(values) - 1) * (1 << P)
+    mxu_util = raw_pairs_per_sec * ops_per_pair / V5E_INT8_OPS_PER_SEC
+
     print(
         json.dumps(
             {
@@ -139,9 +221,34 @@ def main():
                 "vs_baseline": round(
                     pairs_per_sec / CUDA_BASELINE_PAIRS_PER_SEC, 3
                 ),
+                "raw_kernel_pairs_per_sec": round(raw_pairs_per_sec, 1),
+                "raw_vs_baseline": round(
+                    raw_pairs_per_sec / CUDA_BASELINE_PAIRS_PER_SEC, 3
+                ),
+                "mxu_util": round(mxu_util, 3),
             }
         )
     )
+
+
+def main():
+    _configure_jax()
+    attempt = int(os.environ.get(RETRY_ENV, "1"))
+    try:
+        _run()
+    except SystemExit:
+        raise
+    except Exception as exc:  # noqa: BLE001 - transient tunnel/backend faults
+        if attempt >= 2:
+            raise
+        print(
+            f"bench.py: attempt {attempt} failed with "
+            f"{type(exc).__name__}: {exc}; re-executing once after backoff",
+            file=sys.stderr,
+        )
+        time.sleep(15.0)
+        os.environ[RETRY_ENV] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
 
 
 if __name__ == "__main__":

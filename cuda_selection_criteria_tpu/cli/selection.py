@@ -27,7 +27,9 @@ def main(argv=None):
     ap.add_argument("-a", dest="aux_bytes", type=int, default=256)
     ap.add_argument("-h", dest="threshold", type=float, default=0.9)
     ap.add_argument("-c", dest="criterion", default="")
-    ap.add_argument("--block", type=int, default=512)
+    # -b: block size, flag-parity with selection_cuda (reference:
+    # src/selection_cuda.cpp:68-88).
+    ap.add_argument("-b", "--block", type=int, default=512, dest="block")
     ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--sharded", action="store_true",
                     help="use the multi-device mesh engine")

@@ -84,6 +84,47 @@ def main(argv=None):
         select_pairs(bank, params)
         secs = time.perf_counter() - t0
         print(f"{args.list_file};CB+smh_a;{tau:g};{secs};r:{n_rows}_b:{n_bands}")
+
+    # --- kernel-sweep rows: the device screen ONLY (bank resident on
+    # device, schedule precomputed, host confirmation excluded) - the
+    # reference's H2D-once kernel-timing protocol
+    # (experiments/src/time_smh_cuda.cpp:181-307), but with the device
+    # sync the reference forgot (its TIMERSTOP wraps only the async
+    # launch, :279-283). One untimed warmup sweep absorbs compilation;
+    # tile order is permuted per rep so no transparent result cache can
+    # serve a repeat.
+    import jax.numpy as jnp
+    from ..parallel.screened import ScreenPlan
+    from dataclasses import replace
+
+    chunk = 64
+    for label, crit in (("smh_a_kernel", "smh_only"),
+                        ("CB+smh_a_kernel", "smh_a")):
+        plan = ScreenPlan(bank, replace(params, criterion=crit), ti=512)
+        rows, cols = plan.schedule()
+        if not len(rows):
+            continue
+
+        def sweep(seed):
+            perm = np.random.default_rng(seed).permutation(len(rows))
+            r, c = rows[perm], cols[perm]
+            n_s = -(-len(r) // chunk) * chunk
+            r = np.pad(r, (0, n_s - len(r)), constant_values=r[-1])
+            c = np.pad(c, (0, n_s - len(c)), constant_values=c[-1])
+            cnts = []
+            for c0 in range(0, n_s, chunk):
+                _, cnt = plan.screen_chunk(r[c0:c0 + chunk],
+                                           c[c0:c0 + chunk])
+                cnts.append(cnt)
+            np.asarray(jnp.stack(cnts))  # one blocking fetch = device sync
+
+        sweep(0)  # warmup / compile
+        for rep in range(args.reps):
+            t0 = time.perf_counter()
+            sweep(rep + 1)
+            secs = time.perf_counter() - t0
+            print(f"{args.list_file};{label};{tau:g};{secs};"
+                  f"r:{n_rows}_b:{n_bands}")
     return 0
 
 

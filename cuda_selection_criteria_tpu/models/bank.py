@@ -166,7 +166,8 @@ class SketchBank:
         bounds = np.linspace(0, self.n, shards + 1, dtype=np.int64)
         for s in range(shards):
             lo, hi = int(bounds[s]), int(bounds[s + 1])
-            fn = path if shards == 1 else f"{path}.shard{s:04d}-of-{shards:04d}"
+            fn = (_norm_npz(path) if shards == 1
+                  else f"{path}.shard{s:04d}-of-{shards:04d}.npz")
             payload = {
                 "names": np.array(self.names[lo:hi]),
                 "regs": self.regs[lo:hi],
@@ -184,15 +185,49 @@ class SketchBank:
     @classmethod
     def load(cls, path):
         """Load a bank saved by save(); accepts the base path of a sharded
-        set (reassembles every shard, in order)."""
+        set (reassembles every shard, in order).
+
+        Shard sets are validated against their stored metadata: every file
+        must agree on n_shards and the shard indices must form a complete
+        0..n_shards-1 set, so stale shards from an earlier save with a
+        different shard count at the same base path error out instead of
+        silently reassembling a corrupted bank."""
         paths = [path]
         if not os.path.exists(path):
-            import glob
+            if os.path.exists(_norm_npz(path)):
+                paths = [_norm_npz(path)]
+            else:
+                import glob
 
-            paths = sorted(glob.glob(path + ".shard*-of-*"))
-            if not paths:
-                raise FileNotFoundError(path)
+                paths = sorted(glob.glob(path + ".shard*-of-*"))
+                if not paths:
+                    raise FileNotFoundError(path)
         parts = [np.load(f, allow_pickle=False) for f in paths]
+        if len(parts) > 1 or (
+            "n_shards" in parts[0] and int(parts[0]["n_shards"]) > 1
+        ):
+            n_shards = int(parts[0]["n_shards"])
+            seen = {}
+            for f, z in zip(paths, parts):
+                if int(z["n_shards"]) != n_shards:
+                    raise ValueError(
+                        f"inconsistent shard set at {path!r}: {f} has "
+                        f"n_shards={int(z['n_shards'])}, expected {n_shards} "
+                        "(stale shards from an earlier save?)"
+                    )
+                s = int(z["shard"])
+                if s in seen:
+                    raise ValueError(
+                        f"duplicate shard {s} at {path!r}: {seen[s]} and {f}"
+                    )
+                seen[s] = f
+            if sorted(seen) != list(range(n_shards)):
+                raise ValueError(
+                    f"incomplete shard set at {path!r}: have {sorted(seen)}, "
+                    f"expected 0..{n_shards - 1}"
+                )
+            parts = [z for _, z in sorted(zip(paths, parts),
+                                          key=lambda fz: int(fz[1]["shard"]))]
         aux_kind = str(parts[0]["aux_kind"]) or None
         return cls(
             names=[str(x) for z in parts for x in z["names"]],
@@ -204,6 +239,12 @@ class SketchBank:
                  if "aux" in parts[0] else None),
             aux_param=int(parts[0]["aux_param"]) or None,
         )
+
+
+def _norm_npz(path):
+    """np.savez appends .npz when missing; normalize so save(p)/load(p)
+    agree for any p."""
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 def _ctz(x):

@@ -168,12 +168,17 @@ def ertl_mle(counts, p, relerr=1e-2, dtype=jnp.float64):
         # Fused inner loops (hll.h:667-680): h/x_prime update for
         # k in [kMinP, max(kappa-1, kMaxP-1)] descending; g accumulates
         # c[k]*h for k in [kMinP, kMaxP-1] (the second loop's range).
+        # The reference computes g = cPrime * h AFTER its first loop
+        # (updates for k >= kMaxP), so g is seeded at the fused-loop moment
+        # when exactly those updates have run: the start of iteration
+        # k = kMaxP-1, or after the loop when kMaxP <= 1 never reaches it.
         h_hi = jnp.maximum(kappa_m1, k_max_p - 1)
-        g = rounded(c_prime * h)
+        g = jnp.zeros_like(x)
 
         def inner(i, carry):
             h, x_prime, g = carry
             k = k_inner_max - i  # k runs k_inner_max..1, masked per element
+            g = jnp.where(k == k_max_p - 1, rounded(c_prime * h), g)
             upd = (k <= h_hi) & (k >= k_min_p)
             h_prime = 1.0 - h
             h_new = (x_prime + rounded(h * h_prime)) / (x_prime + h_prime)
@@ -191,6 +196,7 @@ def ertl_mle(counts, p, relerr=1e-2, dtype=jnp.float64):
         h, x_prime, g = jax.lax.fori_loop(
             0, k_inner_max, inner, (h, x_prime, g)
         )
+        g = jnp.where(k_max_p <= 1, rounded(c_prime * h), g)
         g = g + rounded(x * a)
 
         # NB: deltaX *= (g - mPrime) / (gprev - g) - the division happens

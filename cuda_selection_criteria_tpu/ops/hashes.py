@@ -12,16 +12,17 @@ on uint64 arrays (JAX x64 mode). The 128-bit multiply in wyhash is built from
 32-bit limbs so it lowers to plain 32/64-bit ops everywhere, including TPU.
 """
 
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
 # wyhash constants (reference: sketch/include/aesctr/wy.h:56-57).
-WYHASH_INC = jnp.uint64(0x60BEE2BEE120FC15)
-WYHASH_XOR = jnp.uint64(0xE7037ED1A0B428DB)
+WYHASH_INC = np.uint64(0x60BEE2BEE120FC15)
+WYHASH_XOR = np.uint64(0xE7037ED1A0B428DB)
 # WyRand maps seed 0 -> 1337 (reference: sketch/include/aesctr/wy.h:113).
-WYRAND_ZERO_SEED = jnp.uint64(1337)
+WYRAND_ZERO_SEED = np.uint64(1337)
 
-_LO32 = jnp.uint64(0xFFFFFFFF)
+_LO32 = np.uint64(0xFFFFFFFF)
 
 
 def wang_hash64(x):

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from .hashes import wyrand_draws
 
-U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 @partial(jax.jit, static_argnames=("m",))

@@ -29,11 +29,18 @@ import jax
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """Bootstrap jax.distributed (no-op when already initialized or when
-    running single-process)."""
-    if jax.process_count() > 1:
-        return  # runtime already initialized (TPU pod auto-bootstrap)
+    running single-process).
+
+    Must run before anything touches the XLA backend, so the
+    already-initialized check reads the distributed client state directly
+    instead of calling jax.process_count() (which would initialize the
+    backend and make the real initialize() fail)."""
     if coordinator_address is None:
         return  # single-process run
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # runtime already initialized (TPU pod auto-bootstrap)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -59,97 +66,34 @@ def tile_slice(n_tiles, process_index=None, process_count=None):
 def select_pairs_multihost(bank, params, ti=512, chunk=64):
     """Per-process shard of the screened all-pairs selection.
 
-    Every process runs the identical schedule computation (sort + live
-    tiles) and screens only its tile slice; the returned lists are
-    disjoint across processes and their concatenation, sorted by the
-    global row order, equals the single-host result (verified in
-    tests/test_multichip.py by emulating the processes serially).
+    Every process runs the identical schedule computation (sort + block
+    schedule) and owns a contiguous slice of the scheduled tile list; it
+    then runs the SAME cascade as the single-host engine (stage-1 gate
+    pruning, fused screen, exact confirmation - shared via
+    screened.ScreenPlan, so the paths cannot drift) on its slice only.
+    The returned lists are disjoint across processes and their
+    concatenation, sorted by the global row order, equals the single-host
+    result (tests/test_multichip.py, tests/test_distributed_procs.py).
     """
-    from . import scheduler, screened
-    from ..ops import criteria, screen as screen_ops
-    from ..utils.hostref import PairOracle
-    import jax.numpy as jnp
+    from .screened import ScreenPlan
 
-    crit = params.criterion
-    n = bank.n
-    if n < 2:
+    if bank.n < 2:
         return []
-    tau = params.tau_eff
-    use_cb = crit not in ("baseline", "smh_only")
-    use_smh = crit in ("smh_a", "smh_only")
-
-    order = bank.sorted_by_cardinality()
-    e_s = np.trunc(bank.cards[order])
-    regs_s = bank.regs[order]
-    aux_s = bank.aux[order] if bank.aux is not None else None
-
-    n_pad = -(-n // ti) * ti
-    regs_p = np.zeros((n_pad, regs_s.shape[1]), np.uint8)
-    regs_p[:n] = regs_s
-    e_p = np.zeros(n_pad, e_s.dtype)
-    e_p[:n] = e_s
-
-    tiles = scheduler.triangle_blocks(e_p[:n], tau, ti, use_cb_skip=use_cb)
-    lo, hi = tile_slice(len(tiles))
-    tiles = tiles[lo:hi]
-    if not tiles:
+    plan = ScreenPlan(bank, params, ti)
+    rows, cols = plan.schedule()
+    lo, hi = tile_slice(len(rows))
+    rows, cols = rows[lo:hi], cols[lo:hi]
+    if not len(rows):
         return []
-    rows = np.array([r0 // ti for (r0, _), _ in tiles], np.int32)
-    cols = np.array([c0 // ti for _, (c0, _) in tiles], np.int32)
-
-    if use_smh:
-        nrb, n_bands = criteria.smh_band_params(bank.aux_param, params.tau)
-        aux_p = np.zeros((n_pad, aux_s.shape[1]), aux_s.dtype)
-        aux_p[:n] = aux_s
-        d_fp = screened.band_fingerprints(jnp.asarray(aux_p), nrb, n_bands)
-    else:
-        n_bands = 1
-        d_fp = jnp.zeros((n_pad, 1), jnp.int32)
-
-    values = screen_ops.bank_values(regs_s)
-    tau_scr = np.float32(screened.screen_tau(tau, params.screen_delta))
-    tau_cb = np.float32(tau * (1.0 - 1e-5))
-    d_regs = jnp.asarray(regs_p)
-    d_e = jnp.asarray(e_p.astype(np.float32))
-
-    n_live = len(rows)
-    chunk = min(chunk, n_live)
-    n_sched = -(-n_live // chunk) * chunk
-    rows = np.pad(rows, (0, n_sched - n_live), constant_values=rows[-1])
-    cols = np.pad(cols, (0, n_sched - n_live), constant_values=cols[-1])
-
-    pending = []
-    for c0 in range(0, n_sched, chunk):
-        r_chunk = rows[c0:c0 + chunk]
-        c_chunk = cols[c0:c0 + chunk]
-        hits, cnt = screened._screen_chunk(
-            d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk), d_e, d_fp,
-            jnp.int32(n), tau_scr, tau_cb, bank.p, values, ti,
-            n_bands, use_cb, use_smh,
-        )
-        pending.append((r_chunk, c_chunk, hits, cnt))
-
-    counts = np.asarray(jnp.stack([c for _, _, _, c in pending]))
-    cand = []
-    for (r_chunk, c_chunk, hits, _), cnt in zip(pending, counts):
-        if not cnt:
-            continue
-        tt, ri, cj = np.nonzero(np.asarray(hits))
-        cand.extend(zip((r_chunk[tt] * ti + ri).tolist(),
-                        (c_chunk[tt] * ti + cj).tolist()))
-
-    cand = sorted(set(cand))
-    oracle = PairOracle(
-        bank.p, regs_s, e_s, aux=aux_s, aux_param=bank.aux_param,
-        criterion=crit, tau=params.tau, z_score=params.z_score,
-        order_n=params.order_n, apply_cb=use_cb,
-    )
+    rows, cols = plan.prune_tiles(rows, cols, chunk=max(chunk, 256))
+    cand = plan.screen_tiles(rows, cols, chunk=chunk)
     names = bank.names
+    order = plan.order
     # Keys (i, j) are global sorted positions: concatenating shards and
     # sorting on them reproduces the single-host row order exactly.
     return [
         (i, j, names[order[i]], names[order[j]], jacc)
-        for i, j, jacc in oracle.confirm_pairs(cand)
+        for i, j, jacc in plan.confirm(cand)
     ]
 
 

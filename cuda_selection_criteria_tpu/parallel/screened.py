@@ -148,12 +148,19 @@ def _screen_chunk_hllaux(regs, aux_regs, r_tiles, c_tiles, e, n_real,
     jj = col0[:, None] + jnp.arange(ti, dtype=jnp.int32)[None, :]
     e_sum = e[ii][:, :, None] + e[jj][:, None, :]
     c32 = coef_aux.astype(jnp.float32)
-    aux_pass = s_a * e_sum * c32 >= alpha_a * np.float32(m_a) * np.float32(m_a)
+    # Absolute slack on top of the multiplicative margin: the exact hll_a
+    # gate truncates t_hat to an integer (size_t cast), which can admit up
+    # to +1 beyond the continuous bound; +(1+delta) covers that for every
+    # union size, making the one-sided bound rigorous even for t ~ 1.
+    slack = np.float32(1.0 + SCREEN_DELTA_AUX)
+    thresh = e_sum * c32 + slack
+    aux_pass = s_a * thresh >= alpha_a * np.float32(m_a) * np.float32(m_a)
     if z_a is not None:
         v_i = jnp.exp(-c32 * e[ii] / m_a)  # rows only
         v_j = jnp.exp(-c32 * e[jj] / m_a)
+        v_slack = np.float32(np.exp(-float(slack) / m_a))
         aux_pass |= (z_a > 0) & (
-            z_a >= m_a * v_i[:, :, None] * v_j[:, None, :]
+            z_a >= m_a * v_slack * v_i[:, :, None] * v_j[:, None, :]
         )
     hits &= aux_pass
     return hits, jnp.sum(hits, dtype=jnp.int32)
@@ -239,91 +246,109 @@ def _screen_post(s, z, e, fp, row0, col0, n_real, tau_scr, tau_cb, p,
     return hits
 
 
-def select_pairs_screened(bank, params, ti=512, chunk=64):
-    """All-pairs selection via the fused Pallas screen + exact confirmation.
+# ---------------------------------------------------------------------------
+# Shared screen pipeline (single-chip, sharded, and multi-host engines)
+# ---------------------------------------------------------------------------
 
-    Supports every criterion. smh_a bands are screened on device via
-    fingerprints; for hll_a/hll_an the device screen is CB + the primary
-    Jaccard bound only - still a strict superset of the exact cascade
-    (those aux gates only REMOVE candidates, and the exact host
-    confirmation applies them in full) - so outputs stay bit-identical to
-    the reference CPU path for all criteria. Returns reference-ordered
-    [(name_i, name_j, jacc)].
-    """
-    crit = params.criterion
-    valid = ("smh_a", "smh_only", "cb", "baseline", "hll_a", "hll_an")
-    if crit not in valid:
-        raise ValueError(f"screened engine does not support criterion {crit!r}")
-    n = bank.n
-    if n < 2:
-        return []
 
-    tau = params.tau_eff
-    use_cb = crit not in ("baseline", "smh_only")
-    use_smh = crit in ("smh_a", "smh_only")
+class ScreenPlan:
+    """Everything the screen cascade needs, prepared once per bank/params:
+    the sorted+padded host arrays, the device-resident bank, and the
+    conservative thresholds. Shared by the single-chip chunk loop, the
+    shard_map multi-device step, and the multi-host tile-slice engine so
+    the three paths cannot drift (ADVICE round 1)."""
 
-    order = bank.sorted_by_cardinality()
-    e_s = np.trunc(bank.cards[order])
-    regs_s = bank.regs[order]
-    aux_s = bank.aux[order] if bank.aux is not None else None
+    VALID = ("smh_a", "smh_only", "cb", "baseline", "hll_a", "hll_an")
 
-    # Pad the sorted bank to a tile multiple; padded rows have e == 0 and
-    # are masked out by the n_real / e_b > 0 gates.
-    n_pad = -(-n // ti) * ti
-    if n_pad != n:
-        regs_p = np.zeros((n_pad, regs_s.shape[1]), np.uint8)
-        regs_p[:n] = regs_s
-        e_p = np.zeros(n_pad, e_s.dtype)
-        e_p[:n] = e_s
-        if aux_s is not None:
-            aux_p = np.zeros((n_pad, aux_s.shape[1]), aux_s.dtype)
-            aux_p[:n] = aux_s
+    def __init__(self, bank, params, ti):
+        crit = params.criterion
+        if crit not in self.VALID:
+            raise ValueError(
+                f"screened engine does not support criterion {crit!r}")
+        self.bank = bank
+        self.params = params
+        self.ti = ti
+        self.crit = crit
+        self.n = bank.n
+        self.tau = params.tau_eff
+        self.use_cb = crit not in ("baseline", "smh_only")
+        self.use_smh = crit in ("smh_a", "smh_only")
+
+        order = bank.sorted_by_cardinality()
+        self.order = order
+        self.e_s = np.trunc(bank.cards[order])
+        self.regs_s = bank.regs[order]
+        self.aux_s = bank.aux[order] if bank.aux is not None else None
+
+        # Pad the sorted bank to a tile multiple; padded rows have e == 0
+        # and are masked out by the n_real / e_b > 0 gates.
+        n = self.n
+        n_pad = -(-n // ti) * ti
+        self.n_pad = n_pad
+        if n_pad != n:
+            regs_p = np.zeros((n_pad, self.regs_s.shape[1]), np.uint8)
+            regs_p[:n] = self.regs_s
+            e_p = np.zeros(n_pad, self.e_s.dtype)
+            e_p[:n] = self.e_s
+            if self.aux_s is not None:
+                aux_p = np.zeros((n_pad, self.aux_s.shape[1]),
+                                 self.aux_s.dtype)
+                aux_p[:n] = self.aux_s
+            else:
+                aux_p = None
         else:
-            aux_p = None
-    else:
-        regs_p, e_p, aux_p = regs_s, e_s, aux_s
+            regs_p, e_p, aux_p = self.regs_s, self.e_s, self.aux_s
+        self.e_p = e_p
 
-    tiles = scheduler.triangle_blocks(e_p[:n], tau, ti, use_cb_skip=use_cb)
-    if not tiles:
-        return []
-    rows = np.array([r0 // ti for (r0, _), _ in tiles], np.int32)
-    cols = np.array([c0 // ti for _, (c0, _) in tiles], np.int32)
+        if self.use_smh:
+            n_rows_b, self.n_bands = criteria.smh_band_params(
+                bank.aux_param, params.tau)
+            self.d_fp = band_fingerprints(jnp.asarray(aux_p), n_rows_b,
+                                          self.n_bands)
+        else:
+            self.n_bands = 1
+            self.d_fp = jnp.zeros((n_pad, 1), jnp.int32)
 
-    if use_smh:
-        n_rows_b, n_bands = criteria.smh_band_params(bank.aux_param, params.tau)
-        d_fp = band_fingerprints(jnp.asarray(aux_p), n_rows_b, n_bands)
-    else:
-        n_rows_b, n_bands = 1, 1
-        d_fp = jnp.zeros((n_pad, 1), jnp.int32)
+        # Device aux-union gate for the HLL-aux criteria: the exact gate
+        # only passes when t_aux <= coef * (e1+e2), so the aux sketches get
+        # the same harmonic-sum screen at p_aux (~1% of the primary cost).
+        # coef is inflated by the aux estimator-deviation margin here.
+        self.coef_aux = self.values_aux = self.d_aux_regs = None
+        if crit in ("hll_a", "hll_an"):
+            zs = criteria.z_sigma(params.z_score, bank.aux_param)
+            coef = hll_aux_threshold_coef(crit, self.tau, zs, params.order_n)
+            if coef is not None:
+                self.coef_aux = jnp.float32(coef * (1.0 + SCREEN_DELTA_AUX))
+                self.values_aux = screen.bank_values(self.aux_s)
+                self.d_aux_regs = jnp.asarray(aux_p)
 
-    # Device aux-union gate for the HLL-aux criteria: the exact gate only
-    # passes when t_aux <= coef * (e1+e2), so the aux sketches get the same
-    # harmonic-sum screen at p_aux (~1% of the primary cost). coef is
-    # inflated by the aux estimator-deviation margin here.
-    coef_aux = values_aux = d_aux_regs = None
-    if crit in ("hll_a", "hll_an"):
-        zs = criteria.z_sigma(params.z_score, bank.aux_param)
-        coef = hll_aux_threshold_coef(crit, tau, zs, params.order_n)
-        if coef is not None:
-            coef_aux = jnp.float32(coef * (1.0 + SCREEN_DELTA_AUX))
-            values_aux = screen.bank_values(aux_s)
-            d_aux_regs = jnp.asarray(aux_p)
+        self.d_regs = jnp.asarray(regs_p)
+        self.d_e = jnp.asarray(e_p.astype(np.float32))
+        self.values = screen.bank_values(self.regs_s)
+        self.tau_scr = np.float32(screen_tau(self.tau, params.screen_delta))
+        # CB margin: the screen divides in f32; relax by 1e-5 relative and
+        # let the oracle apply the exact f64 comparison.
+        self.tau_cb = np.float32(self.tau * (1.0 - 1e-5))
 
-    d_regs = jnp.asarray(regs_p)
-    d_e = jnp.asarray(e_p.astype(np.float32))
-    values = screen.bank_values(regs_s)
-    tau_scr = np.float32(screen_tau(tau, params.screen_delta))
-    # CB margin: the screen divides in f32; relax by 1e-5 relative and let
-    # the oracle apply the exact f64 comparison.
-    tau_cb = np.float32(tau * (1.0 - 1e-5))
+    def schedule(self):
+        """Block-level schedule: (rows, cols) tile indices the CB bound
+        cannot rule out."""
+        tiles = scheduler.triangle_blocks(self.e_p[: self.n], self.tau,
+                                          self.ti, use_cb_skip=self.use_cb)
+        rows = np.array([r0 // self.ti for (r0, _), _ in tiles], np.int32)
+        cols = np.array([c0 // self.ti for _, (c0, _) in tiles], np.int32)
+        return rows, cols
 
-    # Cascade stage 1 (smh criteria): the cheap gates alone decide which
-    # tiles can contain candidates at all - pure VPU work, no harmonic
-    # sums. At production selectivities (LSH bands at tau=0.9 pass
-    # ~1e-4 of pairs, clustered) this skips the MXU kernel for almost
-    # every tile, exactly like the reference skipping the union for
-    # gate-failing pairs (src/selection.cpp:282-286).
-    if use_smh and len(rows) > 1:
+    def prune_tiles(self, rows, cols, chunk=256):
+        """Cascade stage 1: the cheap gates alone (CB outer compare +,
+        for smh criteria, LSH fingerprint equality - pure VPU work, no
+        harmonic sums) decide which tiles can contain candidates at all.
+        Tiles with zero gate-passing pairs never pay for the MXU kernel,
+        for EVERY gated criterion - the reference skips the union for
+        gate-failing pairs the same way (src/selection.cpp:164-167,282-286).
+        """
+        if len(rows) <= 1 or not (self.use_cb or self.use_smh):
+            return rows, cols
         gpend = []
         gchunk = max(chunk, 256)
         for c0 in range(0, len(rows), gchunk):
@@ -334,68 +359,136 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
                          (0, max(0, gchunk - (len(rows) - c0))),
                          constant_values=cols[-1])
             gpend.append(_gate_counts(
-                d_e, d_fp, jnp.asarray(r_g), jnp.asarray(c_g), jnp.int32(n),
-                tau_cb, n_bands, ti, use_cb, use_smh,
+                self.d_e, self.d_fp, jnp.asarray(r_g), jnp.asarray(c_g),
+                jnp.int32(self.n), self.tau_cb, self.n_bands, self.ti,
+                self.use_cb, self.use_smh,
             ))
         gate_counts = np.concatenate([np.asarray(g) for g in gpend])
         live = gate_counts[: len(rows)] > 0
-        if not live.any():
+        return rows[live], cols[live]
+
+    def screen_chunk(self, r_chunk, c_chunk):
+        """One fused screen dispatch over a chunk of tiles: (hits, count)."""
+        if self.coef_aux is not None:
+            return _screen_chunk_hllaux(
+                self.d_regs, self.d_aux_regs, jnp.asarray(r_chunk),
+                jnp.asarray(c_chunk), self.d_e, jnp.int32(self.n),
+                self.tau_scr, self.tau_cb, self.coef_aux, self.bank.p,
+                self.values, self.bank.aux_param, self.values_aux, self.ti,
+            )
+        return _screen_chunk(
+            self.d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk),
+            self.d_e, self.d_fp, jnp.int32(self.n), self.tau_scr,
+            self.tau_cb, self.bank.p, self.values, self.ti, self.n_bands,
+            self.use_cb, self.use_smh,
+        )
+
+    def screen_tiles(self, rows, cols, chunk=64):
+        """Cascade stage 2 over a live-tile list: candidate (i, j) pairs.
+
+        Dispatches every chunk before fetching any result (the device
+        pipelines the screen kernels back-to-back), then fetches ONE small
+        array of per-chunk hit counts and pulls full hit masks only for
+        the (rare) chunks that actually contain candidates - the N^2 mask
+        bytes never cross the host link.
+        """
+        n_live = len(rows)
+        if n_live == 0:
             return []
-        rows, cols = rows[live], cols[live]
+        # Pad the live-tile list to a chunk multiple with repeats of the
+        # last tile (duplicates are deduped below) so every dispatch
+        # reuses one compiled shape.
+        chunk = min(chunk, n_live)
+        n_sched = -(-n_live // chunk) * chunk
+        rows = np.pad(rows, (0, n_sched - n_live), constant_values=rows[-1])
+        cols = np.pad(cols, (0, n_sched - n_live), constant_values=cols[-1])
 
-    # Pad the live-tile list to a chunk multiple with repeats of the last
-    # tile (duplicate results are deduped below) so every dispatch reuses
-    # one compiled shape.
-    n_live = len(rows)
-    chunk = min(chunk, n_live)
-    n_sched = -(-n_live // chunk) * chunk
-    rows = np.pad(rows, (0, n_sched - n_live), constant_values=rows[-1])
-    cols = np.pad(cols, (0, n_sched - n_live), constant_values=cols[-1])
+        ti = self.ti
+        pending = []
+        for c0 in range(0, n_sched, chunk):
+            r_chunk = rows[c0:c0 + chunk]
+            c_chunk = cols[c0:c0 + chunk]
+            hits, cnt = self.screen_chunk(r_chunk, c_chunk)
+            pending.append((r_chunk, c_chunk, hits, cnt))
 
-    # Cascade stage 2: the fused screen kernel over surviving tiles.
-    # Dispatch every chunk before fetching any result: the device pipelines
-    # the screen kernels back-to-back. Then fetch ONE small array of
-    # per-chunk hit counts, and pull full hit masks only for the (rare)
-    # chunks that actually contain candidates - the N^2 mask bytes never
-    # cross the host link.
-    pending = []
-    for c0 in range(0, n_sched, chunk):
-        r_chunk = rows[c0:c0 + chunk]
-        c_chunk = cols[c0:c0 + chunk]
-        if coef_aux is not None:
-            hits, cnt = _screen_chunk_hllaux(
-                d_regs, d_aux_regs, jnp.asarray(r_chunk),
-                jnp.asarray(c_chunk), d_e, jnp.int32(n), tau_scr, tau_cb,
-                coef_aux, bank.p, values, bank.aux_param, values_aux, ti,
-            )
-        else:
-            hits, cnt = _screen_chunk(
-                d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk), d_e,
-                d_fp, jnp.int32(n), tau_scr, tau_cb, bank.p, values, ti,
-                n_bands, use_cb, use_smh,
-            )
-        pending.append((r_chunk, c_chunk, hits, cnt))
+        counts = np.asarray(jnp.stack([c for _, _, _, c in pending]))
+        cand = []
+        for (r_chunk, c_chunk, hits, _), cnt in zip(pending, counts):
+            if not cnt:
+                continue
+            tt, ri, cj = np.nonzero(np.asarray(hits))
+            gi = r_chunk[tt] * ti + ri
+            gj = c_chunk[tt] * ti + cj
+            cand.extend(zip(gi.tolist(), gj.tolist()))
+        return sorted(set(cand))
 
-    counts = np.asarray(jnp.stack([c for _, _, _, c in pending]))
-    cand = []
-    for (r_chunk, c_chunk, hits, _), cnt in zip(pending, counts):
-        if not cnt:
-            continue
-        tt, ri, cj = np.nonzero(np.asarray(hits))
-        gi = r_chunk[tt] * ti + ri
-        gj = c_chunk[tt] * ti + cj
-        cand.extend(zip(gi.tolist(), gj.tolist()))
+    def device_hist_fn(self, chunk=256):
+        """Batched (ii, kk) -> exact union histograms, computed on the
+        device bank (the 32 KiB/pair register scan rides HBM; only the
+        (B, q+2) exact integer counts cross the host link). The f64 MLE on
+        those counts stays on the host, so confirmed output is unchanged.
+        """
+        from ..ops.estimators import hll_histogram
 
-    cand = sorted(set(cand))
-    oracle = PairOracle(
-        bank.p, regs_s, e_s, aux=aux_s, aux_param=bank.aux_param,
-        criterion=crit, tau=params.tau, z_score=params.z_score,
-        order_n=params.order_n, apply_cb=use_cb,
-    )
+        p = self.bank.p
+
+        @partial(jax.jit, static_argnames=("pp",))
+        def hist(bank_regs, ii, kk, pp):
+            merged = jnp.maximum(bank_regs[ii], bank_regs[kk])
+            return hll_histogram(merged.astype(jnp.int32), pp)
+
+        def fn(ii, kk):
+            nb = len(ii)
+            n_pad = -(-max(nb, 1) // chunk) * chunk
+            ip = np.pad(np.asarray(ii, np.int32), (0, n_pad - nb))
+            kp = np.pad(np.asarray(kk, np.int32), (0, n_pad - nb))
+            pending = [
+                hist(self.d_regs, jnp.asarray(ip[c0:c0 + chunk]),
+                     jnp.asarray(kp[c0:c0 + chunk]), p)
+                for c0 in range(0, n_pad, chunk)
+            ]
+            return np.concatenate([np.asarray(h) for h in pending])[:nb]
+
+        return fn
+
+    def confirm(self, cand):
+        """Cascade stage 3: exact host adjudication of the candidates.
+        Returns [(i, j, jacc)] in sorted-position order."""
+        hist_fn = None
+        if jax.default_backend() != "cpu":
+            hist_fn = self.device_hist_fn()
+        oracle = PairOracle(
+            self.bank.p, self.regs_s, self.e_s, aux=self.aux_s,
+            aux_param=self.bank.aux_param, criterion=self.crit,
+            tau=self.params.tau, z_score=self.params.z_score,
+            order_n=self.params.order_n, apply_cb=self.use_cb,
+            hist_fn=hist_fn,
+        )
+        return oracle.confirm_pairs(cand)
+
+
+def select_pairs_screened(bank, params, ti=512, chunk=64):
+    """All-pairs selection via the fused Pallas screen + exact confirmation.
+
+    Supports every criterion: smh_a bands are screened on device via LSH
+    fingerprints; hll_a/hll_an get the device aux-union gate; the exact
+    host confirmation keeps outputs bit-identical to the reference CPU
+    path for all criteria. Returns reference-ordered [(name_i, name_j,
+    jacc)].
+    """
+    if bank.n < 2:
+        return []
+    plan = ScreenPlan(bank, params, ti)
+    rows, cols = plan.schedule()
+    if not len(rows):
+        return []
+    rows, cols = plan.prune_tiles(rows, cols, chunk=max(chunk, 256))
+    cand = plan.screen_tiles(rows, cols, chunk=chunk)
     names = bank.names
+    order = plan.order
     return [
         (names[order[i]], names[order[j]], jacc)
-        for i, j, jacc in oracle.confirm_pairs(cand)
+        for i, j, jacc in plan.confirm(cand)
     ]
 
 
@@ -405,7 +498,7 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
 
 
 def make_sharded_screen_step(mesh, p, values, ti, n_bands, use_cb,
-                             use_smh):
+                             use_smh, aux=None):
     """Build the jitted multi-device screened step.
 
     The live-tile list is the unit of data parallelism: each device owns a
@@ -413,7 +506,12 @@ def make_sharded_screen_step(mesh, p, values, ti, n_bands, use_cb,
     register bank with the same fused Pallas kernel as the single-chip
     engine. No collectives are needed in the screen itself - survivors are
     independent per tile - so scaling is embarrassingly parallel over ICI;
-    only the tiny per-device count vector is gathered.
+    only the tiny per-TILE count vector is gathered (counts-first fetch:
+    full hit masks are pulled per live tile only, never the whole array).
+
+    aux: None for the smh/cb/baseline cascade, or (p_aux, values_aux) to
+    add the device aux-union gate of the hll_a/hll_an criteria (the same
+    kernel at p_aux over the aux register bank).
 
     Bank replication is the right trade up to ~500k genomes (16 KiB/genome);
     beyond that, shard the column bank and ring-rotate blocks (ppermute) -
@@ -421,17 +519,15 @@ def make_sharded_screen_step(mesh, p, values, ti, n_bands, use_cb,
     """
     from jax.sharding import PartitionSpec as P
 
-    def step(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb):
-        hits, cnt = _screen_chunk(
-            regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
-            p, values, ti, n_bands, use_cb, use_smh,
-        )
-        return hits, cnt[None]  # rank-1 so counts concatenate over "rows"
+    if aux is None:
+        def step(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb):
+            hits, _ = _screen_chunk(
+                regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
+                p, values, ti, n_bands, use_cb, use_smh,
+            )
+            return hits, jnp.sum(hits, axis=(1, 2), dtype=jnp.int32)
 
-    sharded = jax.shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(
+        in_specs = (
             P(None, None),  # regs: replicated bank
             P("rows"),  # r_tiles strip
             P("rows"),  # c_tiles strip
@@ -440,7 +536,34 @@ def make_sharded_screen_step(mesh, p, values, ti, n_bands, use_cb,
             P(),  # n_real
             P(),  # tau_scr
             P(),  # tau_cb
-        ),
+        )
+    else:
+        p_aux, values_aux = aux
+
+        def step(regs, aux_regs, r_tiles, c_tiles, e, n_real, tau_scr,
+                 tau_cb, coef_aux):
+            hits, _ = _screen_chunk_hllaux(
+                regs, aux_regs, r_tiles, c_tiles, e, n_real, tau_scr,
+                tau_cb, coef_aux, p, values, p_aux, values_aux, ti,
+            )
+            return hits, jnp.sum(hits, axis=(1, 2), dtype=jnp.int32)
+
+        in_specs = (
+            P(None, None),  # regs: replicated primary bank
+            P(None, None),  # aux_regs: replicated aux bank
+            P("rows"),  # r_tiles strip
+            P("rows"),  # c_tiles strip
+            P(None),  # e
+            P(),  # n_real
+            P(),  # tau_scr
+            P(),  # tau_cb
+            P(),  # coef_aux
+        )
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=in_specs,
         out_specs=(P("rows"), P("rows")),
         check_vma=False,
     )
@@ -449,52 +572,24 @@ def make_sharded_screen_step(mesh, p, values, ti, n_bands, use_cb,
 
 def select_pairs_screened_sharded(bank, params, mesh=None, ti=512):
     """Multi-device screened all-pairs selection (same exact-output contract
-    as select_pairs_screened; tiles sharded across the mesh "rows" axis)."""
+    as select_pairs_screened; tiles sharded across the mesh "rows" axis).
+
+    Supports every criterion, including hll_a/hll_an via the replicated
+    aux-bank union gate (reference coverage: src/selection.cpp:122-227)."""
     from jax.sharding import Mesh
 
     if mesh is None:
         devices = np.array(jax.devices())
         mesh = Mesh(devices.reshape(len(devices)), axis_names=("rows",))
-    crit = params.criterion
-    if crit not in ("smh_a", "smh_only", "cb", "baseline"):
-        raise ValueError(f"screened engine does not support criterion {crit!r}")
-    n = bank.n
-    if n < 2:
+    if bank.n < 2:
         return []
-
-    tau = params.tau_eff
-    use_cb = crit not in ("baseline", "smh_only")
-    use_smh = crit in ("smh_a", "smh_only")
-
-    order = bank.sorted_by_cardinality()
-    e_s = np.trunc(bank.cards[order])
-    regs_s = bank.regs[order]
-    aux_s = bank.aux[order] if bank.aux is not None else None
-
-    n_pad = -(-n // ti) * ti
-    regs_p = np.zeros((n_pad, regs_s.shape[1]), np.uint8)
-    regs_p[:n] = regs_s
-    e_p = np.zeros(n_pad, e_s.dtype)
-    e_p[:n] = e_s
-
-    tiles = scheduler.triangle_blocks(e_p[:n], tau, ti, use_cb_skip=use_cb)
-    if not tiles:
+    plan = ScreenPlan(bank, params, ti)
+    rows, cols = plan.schedule()
+    if not len(rows):
         return []
-    rows = np.array([r0 // ti for (r0, _), _ in tiles], np.int32)
-    cols = np.array([c0 // ti for _, (c0, _) in tiles], np.int32)
-
-    if use_smh:
-        n_rows_b, n_bands = criteria.smh_band_params(bank.aux_param, params.tau)
-        aux_p = np.zeros((n_pad, aux_s.shape[1]), aux_s.dtype)
-        aux_p[:n] = aux_s
-        d_fp = band_fingerprints(jnp.asarray(aux_p), n_rows_b, n_bands)
-    else:
-        n_bands = 1
-        d_fp = jnp.zeros((n_pad, 1), jnp.int32)
-
-    values = screen.bank_values(regs_s)
-    tau_scr = np.float32(screen_tau(tau, params.screen_delta))
-    tau_cb = np.float32(tau * (1.0 - 1e-5))
+    rows, cols = plan.prune_tiles(rows, cols)
+    if not len(rows):
+        return []
 
     # Pad the tile list to a device multiple with repeats (deduped below).
     n_dev = mesh.shape["rows"]
@@ -502,26 +597,41 @@ def select_pairs_screened_sharded(bank, params, mesh=None, ti=512):
     rows = np.pad(rows, (0, n_sched - len(rows)), constant_values=rows[-1])
     cols = np.pad(cols, (0, n_sched - len(cols)), constant_values=cols[-1])
 
+    aux_spec = None
+    if plan.coef_aux is not None:
+        aux_spec = (bank.aux_param, plan.values_aux)
     step = make_sharded_screen_step(
-        mesh, bank.p, values, ti, n_bands, use_cb, use_smh
+        mesh, bank.p, plan.values, ti, plan.n_bands, plan.use_cb,
+        plan.use_smh, aux=aux_spec,
     )
-    hits, _ = step(
-        jnp.asarray(regs_p), jnp.asarray(rows), jnp.asarray(cols),
-        jnp.asarray(e_p.astype(np.float32)), d_fp,
-        jnp.int32(n), jnp.float32(tau_scr), jnp.float32(tau_cb),
-    )
-    tt, ri, cj = np.nonzero(np.asarray(hits))
-    cand = sorted(set(zip(
-        (rows[tt] * ti + ri).tolist(), (cols[tt] * ti + cj).tolist()
-    )))
+    if aux_spec is not None:
+        hits, cnts = step(
+            plan.d_regs, plan.d_aux_regs, jnp.asarray(rows),
+            jnp.asarray(cols), plan.d_e, jnp.int32(plan.n),
+            jnp.float32(plan.tau_scr), jnp.float32(plan.tau_cb),
+            plan.coef_aux,
+        )
+    else:
+        hits, cnts = step(
+            plan.d_regs, jnp.asarray(rows), jnp.asarray(cols), plan.d_e,
+            plan.d_fp, jnp.int32(plan.n), jnp.float32(plan.tau_scr),
+            jnp.float32(plan.tau_cb),
+        )
 
-    oracle = PairOracle(
-        bank.p, regs_s, e_s, aux=aux_s, aux_param=bank.aux_param,
-        criterion=crit, tau=params.tau, z_score=params.z_score,
-        order_n=params.order_n, apply_cb=use_cb,
-    )
+    # Counts-first fetch: one tiny (T,) count vector, then only the hit
+    # masks of tiles that actually contain candidates cross the host link.
+    counts = np.asarray(cnts)
+    cand = []
+    for t in np.nonzero(counts)[0]:
+        ri, cj = np.nonzero(np.asarray(hits[t]))
+        cand.extend(zip(
+            (rows[t] * ti + ri).tolist(), (cols[t] * ti + cj).tolist()
+        ))
+    cand = sorted(set(cand))
+
     names = bank.names
+    order = plan.order
     return [
         (names[order[i]], names[order[j]], jacc)
-        for i, j, jacc in oracle.confirm_pairs(cand)
+        for i, j, jacc in plan.confirm(cand)
     ]

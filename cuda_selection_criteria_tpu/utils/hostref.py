@@ -71,6 +71,111 @@ def ertl_mle_scalar(c, p, relerr=1e-2):
     return x * m
 
 
+def ertl_mle_batch(c, p, relerr=1e-2):
+    """Vectorized Ertl Algorithm 8 over a batch of histograms, true IEEE
+    f64, bit-identical to ertl_mle_scalar per element.
+
+    Same fused-loop-with-masks construction as the device estimator
+    (ops/estimators.ertl_mle) but in numpy (no FMA contraction, native
+    f64), so the exact-confirmation stage processes thousands of
+    candidate pairs per vector op instead of one scalar secant loop per
+    pair. c: (B, >= q+2) histogram rows. Returns float64 (B,).
+    """
+    q = 64 - p
+    m = 1 << p
+    c = np.ascontiguousarray(np.asarray(c, np.float64)[:, : q + 2])
+    nb = c.shape[0]
+    if nb == 0:
+        return np.zeros(0)
+    is_inf = c[:, q + 1] == m
+
+    nz = c > 0
+    k_min = np.argmax(nz, axis=1)
+    k_min_p = np.maximum(1, k_min)
+    k_max = (q + 1) - np.argmax(nz[:, ::-1], axis=1)
+    k_max = np.where(nz.any(axis=1), k_max, 0)
+    k_max_p = np.minimum(q, k_max)
+
+    z = np.zeros(nb)
+    for k in range(q, 0, -1):
+        sel = (k >= k_min_p) & (k <= k_max_p)
+        z[sel] = 0.5 * z[sel] + c[sel, k]
+    z = np.ldexp(z, -k_min_p)
+    c_prime = c[:, q + 1].copy()
+    if q:
+        c_prime += c[np.arange(nb), k_max_p]
+    a = z + c[:, 0]
+    m_prime = m - c[:, 0]
+    g0 = z + np.ldexp(c[:, q + 1], -q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = np.where(
+            g0 <= 1.5 * a,
+            m_prime / (0.5 * g0 + a),
+            (m_prime / np.where(g0 > 0, g0, 1.0))
+            * np.log1p(g0 / np.where(a > 0, a, 1.0)),
+        )
+    x = np.where(m_prime == 0, 0.0, x)
+    delta_x = x.copy()
+    eps = relerr / math.sqrt(m)
+    g_prev = np.zeros(nb)
+
+    while True:
+        act = np.nonzero(delta_x > x * eps)[0]
+        if act.size == 0:
+            break
+        xa = x[act]
+        kminp = k_min_p[act]
+        kmaxp = k_max_p[act]
+        _, kappa_m1 = np.frexp(xa)
+        xp = np.ldexp(xa, -np.maximum(kmaxp + 1, kappa_m1 + 2))
+        xp2 = xp * xp
+        h = xp - xp2 / 3 + (xp2 * xp2) * (1.0 / 45.0 - xp2 / 472.5)
+        h_hi = np.maximum(kappa_m1, kmaxp - 1)
+        cp = c_prime[act]
+        g = np.zeros_like(xa)
+        # Fused descending-k loop with per-element masks: h updates for
+        # k in [kMinP, max(kappa-1, kMaxP-1)]; g seeded with cPrime*h at
+        # the reference's moment (after the k >= kMaxP updates); c[k]*h
+        # accumulated for k <= kMaxP-1 (reference: hll.h:667-680).
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for k in range(int(h_hi.max(initial=0)), 0, -1):
+                g = np.where(k == kmaxp - 1, cp * h, g)
+                upd = (k <= h_hi) & (k >= kminp)
+                hp = 1.0 - h
+                h_new = (xp + h * hp) / (xp + hp)
+                h = np.where(upd, h_new, h)
+                xp = np.where(upd, xp + xp, xp)
+                acc = upd & (k <= kmaxp - 1)
+                if acc.any():
+                    g = np.where(acc, g + c[act, min(k, q + 1)] * h, g)
+        g = np.where(kmaxp <= 1, cp * h, g)
+        g = g + xa * a[act]
+        ok = (g_prev[act] < g) & (g <= m_prime[act])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            step = np.where(
+                ok, delta_x[act] * ((g - m_prime[act]) / (g_prev[act] - g)),
+                0.0,
+            )
+        x[act] = xa + step
+        delta_x[act] = step
+        g_prev[act] = g
+    est = x * m
+    est[is_inf] = np.inf
+    return est
+
+
+def pair_union_histograms(regs, ii, kk):
+    """Histograms of max(regs[i], regs[k]) for index-paired rows: one
+    vectorized max-merge plus ONE bincount per call (B, 64) int64.
+
+    In-place int32 offset add keeps the temporaries at 4 bytes/register -
+    the register scan is the memory-bound part of host confirmation."""
+    nb = len(ii)
+    merged = np.maximum(regs[ii], regs[kk]).astype(np.int32)
+    merged += (np.arange(nb, dtype=np.int32) * 64)[:, None]
+    return np.bincount(merged.ravel(), minlength=nb * 64).reshape(nb, 64)
+
+
 def report(regs, p):
     return ertl_mle_scalar(histogram(regs), p)
 
@@ -100,7 +205,8 @@ class PairOracle:
     """
 
     def __init__(self, p, regs, e, aux=None, aux_param=None, criterion=None,
-                 tau=0.9, z_score=1.96, order_n=1, apply_cb=True):
+                 tau=0.9, z_score=1.96, order_n=1, apply_cb=True,
+                 hist_fn=None):
         self.p = p
         self.regs = regs
         self.e = e
@@ -110,6 +216,14 @@ class PairOracle:
         self.tau = np.float64(np.float32(tau))
         self.order_n = order_n
         self.apply_cb = apply_cb
+        # Optional batched union-histogram provider (ii, kk) -> (B, >=q+2)
+        # EXACT integer counts. The screened engine passes a device-backed
+        # one (the 32 KiB/pair register scan runs at HBM speed on the
+        # accelerator; integer counts are exact there, so only the f64 MLE
+        # stays on the host). None = numpy max-merge + bincount.
+        self.hist_fn = hist_fn or (
+            lambda ii, kk: pair_union_histograms(self.regs, ii, kk)
+        )
         if criterion in ("smh_a", "smh_only"):
             from ..ops.criteria import smh_band_params
 
@@ -155,30 +269,72 @@ class PairOracle:
         jacc = (self.e[i] + self.e[k] - t) / t
         return (jacc >= self.tau), float(jacc)
 
-    def confirm_pairs(self, pairs, batch=2048):
+    def confirm_pairs(self, pairs, batch=8192):
         """Exact cascade over many candidate pairs: [(i, k, jacc)] for the
         selected ones, in input order.
 
-        The primary unions are batched: one vectorized max-merge plus ONE
-        bincount per chunk replaces the per-pair register scan (the f64
-        MLE itself stays the scalar reference loop, so every selected
-        Jaccard is bit-identical to evaluate())."""
-        gated = [(i, k) for (i, k) in pairs if self.gates_pass(i, k)]
+        Fully vectorized true-f64 path: the gates (CB, smh band equality,
+        hll-aux union thresholds) and the primary union + MLE all run as
+        numpy array ops - element-wise the identical operation sequence to
+        evaluate()'s scalar loop (ertl_mle_batch == ertl_mle_scalar
+        bit-for-bit, tests/test_hostref_batch.py), so the selected pair
+        set and Jaccard values are unchanged while confirmation runs at
+        millions of pairs/s instead of a scalar secant loop per pair."""
+        pairs = list(pairs)
+        if not pairs:
+            return []
+        ii = np.fromiter((i for i, _ in pairs), np.int64, len(pairs))
+        kk = np.fromiter((k for _, k in pairs), np.int64, len(pairs))
+        e = np.asarray(self.e, np.float64)
+        e1 = e[ii]
+        e2 = e[kk]
+
+        sel = np.nonzero(e2 != 0)[0]
+        if self.apply_cb and sel.size:
+            sel = sel[e1[sel] / e2[sel] >= self.tau]
+        crit = self.criterion
+        if crit in ("smh_a", "smh_only") and sel.size:
+            va = self.aux[ii[sel]].reshape(sel.size, self.n_bands,
+                                           self.n_rows)
+            vb = self.aux[kk[sel]].reshape(sel.size, self.n_bands,
+                                           self.n_rows)
+            sel = sel[(va == vb).all(axis=2).any(axis=1)]
+        elif crit in ("hll_a", "hll_an") and sel.size:
+            hist_a = pair_union_histograms(self.aux, ii[sel], kk[sel])
+            with np.errstate(invalid="ignore"):
+                if crit == "hll_a":
+                    # int() of the positive estimate == floor (size_t cast)
+                    t_hat = np.floor(ertl_mle_batch(hist_a, self.aux_param))
+                    t_hat_mas = t_hat / (1.0 + self.zs)
+                    k_mas = (
+                        (1.0 + e1[sel] / e2[sel]) * e2[sel] - t_hat_mas
+                    ) / t_hat_mas
+                    sel = sel[k_mas >= self.tau]
+                else:
+                    t_hat = ertl_mle_batch(hist_a, self.aux_param)
+                    j_hat = (e1[sel] + e2[sel] - t_hat) / t_hat
+                    s = 0.0
+                    num = 1.0
+                    for _ in range(self.order_n):
+                        num *= self.zs
+                        s += num
+                    c_corr = (
+                        np.minimum(1.0, (1.0 + self.zs) * e2[sel] / t_hat)
+                        * (1.0 + e1[sel] / e2[sel]) * s
+                    )
+                    sel = sel[j_hat + c_corr >= self.tau]
+
         out = []
-        for c0 in range(0, len(gated), batch):
-            chunk = gated[c0:c0 + batch]
-            ii = np.fromiter((i for i, _ in chunk), np.int64, len(chunk))
-            kk = np.fromiter((k for _, k in chunk), np.int64, len(chunk))
-            merged = np.maximum(self.regs[ii], self.regs[kk]).astype(np.int64)
-            offs = (np.arange(len(chunk))[:, None] * 64 + merged).ravel()
-            hists = np.bincount(
-                offs, minlength=len(chunk) * 64
-            ).reshape(len(chunk), 64)
-            for (i, k), c in zip(chunk, hists):
-                t = ertl_mle_scalar(c, self.p)
-                jacc = (self.e[i] + self.e[k] - t) / t
-                if jacc >= self.tau:
-                    out.append((i, k, float(jacc)))
+        for c0 in range(0, sel.size, batch):
+            sub = sel[c0:c0 + batch]
+            hists = self.hist_fn(ii[sub], kk[sub])
+            t = ertl_mle_batch(hists, self.p)
+            jacc = (e1[sub] + e2[sub] - t) / t
+            good = np.nonzero(jacc >= self.tau)[0]
+            out.extend(
+                (int(ii[sub[g]]), int(kk[sub[g]]), float(jacc[g]))
+                for g in good
+            )
         return out
 
 

@@ -130,6 +130,40 @@ def test_bank_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(got3.regs, bank.regs)
     np.testing.assert_array_equal(got3.aux, bank.aux)
 
+    # save(p)/load(p) agree when p lacks the .npz suffix (np.savez appends it)
+    bare = str(tmp_path / "bank_bare")
+    bank.save(bare)
+    got_bare = SketchBank.load(bare)
+    np.testing.assert_array_equal(got_bare.regs, bank.regs)
+
+
+def test_bank_load_rejects_stale_shard_sets(tmp_path):
+    """Mixed shard counts / incomplete shard sets at one base path must
+    error instead of silently reassembling a corrupted bank."""
+    import numpy as np
+    import pytest
+    from cuda_selection_criteria_tpu.models.bank import SketchBank
+
+    rng = np.random.default_rng(5)
+    n = 9
+    bank = SketchBank(
+        names=[f"g{i}" for i in range(n)],
+        regs=rng.integers(0, 20, size=(n, 1 << 8), dtype=np.uint8),
+        p=8,
+    )
+    base = str(tmp_path / "bank.npz")
+    bank.save(base, shards=2)
+    bank.save(base, shards=3)  # stale 2-shard files remain alongside
+    with pytest.raises(ValueError, match="inconsistent shard set"):
+        SketchBank.load(base)
+
+    # Incomplete set: drop one shard of a clean save.
+    base2 = str(tmp_path / "bank2.npz")
+    bank.save(base2, shards=3)
+    os.remove(base2 + ".shard0001-of-0003.npz")
+    with pytest.raises(ValueError, match="incomplete shard set"):
+        SketchBank.load(base2)
+
 
 def test_native_batch_loaders_match_python():
     """Threaded C++ batch loaders return identical bytes to the Python
