@@ -1,0 +1,98 @@
+"""Confirm-stage throughput measurement (VERDICT round 1, weak #5).
+
+The exact-confirmation stage dominates at low-selectivity operating points
+(the reference's differential protocol runs at tau=0.01 -
+run_comparison_experiment.sh:62-70 - and the `baseline` criterion confirms
+every pair). This measures, on a synthetic p=14 bank:
+
+  host      - numpy path: vectorized gates + max-merge/bincount histograms
+              + batched f64 MLE (utils/hostref).
+  device    - ScreenPlan.device_hist_fn: union histograms computed on the
+              accelerator from the resident bank (exact integer counts),
+              f64 MLE on the host.
+
+Prints one JSON line with pairs/s for each mode.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--pairs", type=int, default=200_000)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    from cuda_selection_criteria_tpu.models.bank import SketchBank
+    from cuda_selection_criteria_tpu.parallel.screened import ScreenPlan
+    from cuda_selection_criteria_tpu.parallel.selection import SelectionParams
+    from cuda_selection_criteria_tpu.utils.hostref import PairOracle
+
+    rng = np.random.default_rng(2)
+    n, p = args.n, 14
+    regs = rng.integers(0, 28, size=(n, 1 << p), dtype=np.uint8)
+    cards = np.sort(rng.uniform(1e5, 2e5, n))
+    bank = SketchBank(names=[f"g{i}" for i in range(n)], regs=regs, p=p,
+                      cards=np.trunc(cards))
+
+    ii = rng.integers(0, n - 1, args.pairs)
+    kk = ii + 1 + rng.integers(0, n - ii - 1)
+    pairs = list(zip(ii.tolist(), kk.tolist()))
+
+    # tau=-100 so every pair takes the full union-MLE path (worst case).
+    oracle_host = PairOracle(p, bank.regs, bank.cards, criterion="baseline",
+                             tau=-100.0, apply_cb=False)
+
+    def timed(fn, label):
+        print(f"# warmup {label}", file=sys.stderr, flush=True)
+        fn()  # warmup (page faults / compile)
+        best = float("inf")
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            print(f"# {label} rep{r}: {len(out) / dt:.3e}/s",
+                  file=sys.stderr, flush=True)
+            best = min(best, dt)
+        return len(out) / best, out
+
+    # The host path re-reads 32 KiB/pair from host DRAM; time it on a
+    # quarter of the pair list so slow hosts finish in bounded time.
+    host_pairs = pairs[: max(1, len(pairs) // 4)]
+    host_rate, _ = timed(
+        lambda: oracle_host.confirm_pairs(host_pairs), "host")
+    host_out = oracle_host.confirm_pairs(pairs)
+
+    plan = ScreenPlan(bank, SelectionParams(tau=0.9, criterion="baseline"),
+                      ti=512)
+    oracle_dev = PairOracle(p, plan.regs_s, plan.e_s, criterion="baseline",
+                            tau=-100.0, apply_cb=False,
+                            hist_fn=plan.device_hist_fn(chunk=4096))
+    # plan sorts by cardinality; cards here are already sorted+truncated,
+    # so sorted positions == original positions and outputs are comparable.
+    dev_rate, dev_out = timed(
+        lambda: oracle_dev.confirm_pairs(pairs), "device")
+    assert [(i, k, j) for i, k, j in host_out] == \
+        [(i, k, j) for i, k, j in dev_out], "device/host confirm mismatch"
+
+    import jax
+
+    print(json.dumps({
+        "n_pairs": len(pairs),
+        "backend": jax.default_backend(),
+        "host_confirm_pairs_per_sec": round(host_rate, 1),
+        "device_assisted_confirm_pairs_per_sec": round(dev_rate, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -79,8 +79,10 @@ def synthesize(workdir, n, n_big, rng):
     """n small genomes in planted clusters + n_big multi-megabase genomes.
 
     Cluster structure: bases drawn from the 10 influenza genomes; members
-    of a cluster mutate the same base at ~0.2-1% (J well above 0.9),
-    singletons at 8-30% (J far below)."""
+    of a cluster mutate the same concatenated base at <= 0.015% (the
+    corpora are highly repetitive, so mutations ADD distinct k-mers
+    without removing shared ones - tiny rates keep within-cluster
+    Jaccard ~0.95), singletons at 8-30% (J far below tau)."""
     os.makedirs(workdir, exist_ok=True)
     seqs = load_influenza_seqs()
     files = []
@@ -93,7 +95,7 @@ def synthesize(workdir, n, n_big, rng):
                                    for _ in range(reps)])
         cluster = int(rng.integers(1, 4))  # 1 = singleton
         for _ in range(min(cluster, n - gi)):
-            rate = 0.003 * rng.random() if cluster > 1 else \
+            rate = 0.00015 * rng.random() if cluster > 1 else \
                 0.08 + 0.22 * rng.random()
             g = mutate(base_big, rate, rng)
             f = os.path.join(workdir, f"g{gi:05d}.fna.gz")
@@ -120,7 +122,7 @@ def synthesize(workdir, n, n_big, rng):
                         if not line.startswith(b">"):
                             parts.append(line.strip())
                 big = mutate(np.frombuffer(b"".join(parts), np.uint8),
-                             0.0005, rng)
+                             0.00005, rng)
             write_fasta_gz(f, f"big{b:02d}", big)
         files.append(f)
     return files
@@ -136,7 +138,14 @@ def main(argv=None):
     ap.add_argument("--workdir", default="/tmp/csc_realscale")
     ap.add_argument("--skip-build", action="store_true",
                     help="reuse sketches already in workdir")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (site plugin pins axon)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from cuda_selection_criteria_tpu.models.bank import (
         SketchBank, build_bank_from_files,

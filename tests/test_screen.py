@@ -316,6 +316,7 @@ def test_screened_engine_edge_cases():
     ]
 
 
+@pytest.mark.slow
 def test_screened_engine_fuzz_matches_host():
     """Randomized differential fuzz: random overlap structures and taus."""
     for seed, tau, crit in [

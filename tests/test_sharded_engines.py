@@ -39,7 +39,7 @@ def test_sharded_screened_smh_family_matches_host(crit, tau):
     host = select_pairs_host(
         bank, tau, crit, apply_cb=(crit not in ("baseline", "smh_only"))
     )
-    got = select_pairs_screened_sharded(bank, params, ti=256)
+    got = select_pairs_screened_sharded(bank, params, ti=128)
     assert _round(host) == _round(got)
 
 
@@ -51,7 +51,7 @@ def test_sharded_screened_hll_aux_matches_host(crit):
     bank = _make_bank_hll_aux(24, 10, 6, rng)
     params = SelectionParams(tau=0.2, criterion=crit)
     host = select_pairs_host(bank, 0.2, crit)
-    got = select_pairs_screened_sharded(bank, params, ti=256)
+    got = select_pairs_screened_sharded(bank, params, ti=128)
     assert _round(host) == _round(got)
     assert len(got) > 0  # the planted pool guarantees survivors
 
@@ -91,7 +91,7 @@ def test_sharded_screened_golden(crit, aux_bytes):
                                         aux_bytes=aux_bytes)
     params = SelectionParams(tau=0.9, criterion=crit, aux_bytes=aux_bytes)
     host = select_pairs_host(bank, 0.9, crit)
-    got = select_pairs_screened_sharded(bank, params, ti=256)
+    got = select_pairs_screened_sharded(bank, params, ti=128)
     assert _round(host) == _round(got)
     assert len(got) == 7  # results.txt golden pair count
 
