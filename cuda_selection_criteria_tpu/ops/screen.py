@@ -85,7 +85,14 @@ def _weighted_cdf_sum(regs, row_tiles, col_tiles, p, weights, ti, tj,
         a = a_ref[:].astype(jnp.int32)  # (ti, r_sub)
         b = b_ref[:].astype(jnp.int32)
         for v, w in items:
-            if precision == "int8":
+            if precision == "int4":
+                # probe path: 0/1 indicators fit int4; v5e gains only if
+                # Mosaic lowers to a native int4 MXU pass (see
+                # experiments/kernel_tuning.py)
+                ia = (a <= v).astype(jnp.int4)
+                ib = (b <= v).astype(jnp.int4)
+                acc_dt = jnp.int32
+            elif precision == "int8":
                 ia = (a <= v).astype(jnp.int8)
                 ib = (b <= v).astype(jnp.int8)
                 acc_dt = jnp.int32

@@ -145,18 +145,26 @@ def test_screen_tau_is_conservative():
     assert j_orig >= screen_tau(tau, delta) - 1e-12
 
 
-def _make_bank(n, p, m, rng, pool_size=8000):
+def _planted_items(n, rng, pool_size, cap=2560):
+    """Per-genome item draws from a shared pool, padded to ONE static
+    shape so the whole suite compiles each build kernel once (padding is
+    masked out by `valid`; sketches are identical to unpadded builds)."""
     pool = rng.integers(0, 1 << 63, size=pool_size, dtype=np.uint64)
-    regs, aux = [], []
-    for _ in range(n):
+    buf = np.zeros((n, cap), np.uint64)
+    valid = np.zeros((n, cap), bool)
+    for i in range(n):
         k = int(rng.integers(300, 2500))
-        items = jnp.asarray(rng.choice(pool, size=k, replace=False))
-        valid = jnp.ones(items.shape, bool)
-        gid = jnp.zeros(items.shape, np.int32)
-        regs.append(np.asarray(hll_build.hll_build_batch(items, valid, gid, p, 1))[0])
-        aux.append(np.asarray(smh_build.smh_build_batch(items, valid, gid, m, 1))[0])
-    regs = np.stack(regs)
-    aux = np.stack(aux)
+        buf[i, :k] = rng.choice(pool, size=k, replace=False)
+        valid[i, :k] = True
+    gids = np.repeat(np.arange(n, dtype=np.int32), cap)
+    return (jnp.asarray(buf.ravel()), jnp.asarray(valid.ravel()),
+            jnp.asarray(gids))
+
+
+def _make_bank(n, p, m, rng, pool_size=8000):
+    items, valid, gids = _planted_items(n, rng, pool_size)
+    regs = np.array(hll_build.hll_build_batch(items, valid, gids, p, n))
+    aux = np.array(smh_build.smh_build_batch(items, valid, gids, m, n))
     cards = np.asarray(estimators.ertl_mle_from_regs(jnp.asarray(regs), p))
     names = [f"g{i:03d}" for i in range(n)]
     return SketchBank(names=names, p=p, regs=regs, cards=cards, aux=aux,
@@ -202,17 +210,9 @@ def test_screened_sharded_matches_host():
 
 
 def _make_bank_hll_aux(n, p, p_aux, rng, pool_size=8000):
-    pool = rng.integers(0, 1 << 63, size=pool_size, dtype=np.uint64)
-    regs, aux = [], []
-    for _ in range(n):
-        k = int(rng.integers(300, 2500))
-        items = jnp.asarray(rng.choice(pool, size=k, replace=False))
-        valid = jnp.ones(items.shape, bool)
-        gid = jnp.zeros(items.shape, np.int32)
-        regs.append(np.asarray(hll_build.hll_build_batch(items, valid, gid, p, 1))[0])
-        aux.append(np.asarray(hll_build.hll_build_batch(items, valid, gid, p_aux, 1))[0])
-    regs = np.stack(regs)
-    aux = np.stack(aux)
+    items, valid, gids = _planted_items(n, rng, pool_size)
+    regs = np.array(hll_build.hll_build_batch(items, valid, gids, p, n))
+    aux = np.array(hll_build.hll_build_batch(items, valid, gids, p_aux, n))
     cards = np.asarray(estimators.ertl_mle_from_regs(jnp.asarray(regs), p))
     names = [f"g{i:03d}" for i in range(n)]
     return SketchBank(names=names, p=p, regs=regs, cards=cards, aux=aux,
