@@ -52,8 +52,8 @@ def _interpret_default():
     return jax.default_backend() == "cpu"
 
 
-def _weighted_cdf_sum(regs, row_tiles, col_tiles, p, weights, ti, tj,
-                      r_sub, precision, interpret, emit_z0=False):
+def _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p, weights,
+                      ti, tj, r_sub, precision, interpret, emit_z0=False):
     """One fused Pallas pass: out[t,i,j] = sum_v w_v * CDF_v for the given
     static {v: w_v} weight map, over a list of (row, col) tiles; with
     emit_z0, a second output captures CDF_0 (the zero-register count) in
@@ -133,7 +133,7 @@ def _weighted_cdf_sum(regs, row_tiles, col_tiles, p, weights, ti, tj,
         grid_spec=grid_spec,
         out_shape=[out_shape, out_shape] if emit_z0 else [out_shape],
         interpret=interpret,
-    )(row_tiles, col_tiles, regs, regs)
+    )(row_tiles, col_tiles, regs, regs_cols)
     return out if emit_z0 else out[0]
 
 
@@ -152,7 +152,8 @@ def bank_values(regs):
 @partial(jax.jit, static_argnames=("p", "values", "ti", "tj",
                                    "r_sub", "precision", "interpret"))
 def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
-               tj=512, r_sub=None, precision="int8", interpret=None):
+               tj=512, r_sub=None, precision="int8", interpret=None,
+               regs_cols=None):
     """Pairwise harmonic sums / zero counts for a list of (row, col) tiles.
 
     Exact dyadic telescope over PRESENT register values only: for sorted
@@ -171,6 +172,10 @@ def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
       p: static HLL precision.
       values: static sorted tuple of distinct register values present in
         the real rows (bank_values(regs)).
+      regs_cols: optional separate column bank (row_tiles index `regs`,
+        col_tiles index `regs_cols`); None = both sides from `regs`. Used
+        by the ring-sharded engine, where the column strip circulates over
+        ICI while the row strip stays resident (parallel/ring.py).
 
     Returns:
       (S, Z): float32 (T, ti, tj) harmonic sums and zero-register counts;
@@ -178,6 +183,8 @@ def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
     """
     if interpret is None:
         interpret = _interpret_default()
+    if regs_cols is None:
+        regs_cols = regs
     if r_sub is None:
         # Keep (in-blocks + widened operands + one f32 output block) x
         # double-buffering inside the 16 MB VMEM budget at every tile size
@@ -199,21 +206,22 @@ def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
         return s, z
 
     if not want_z:
-        s = _weighted_cdf_sum(regs, row_tiles, col_tiles, p, s_weights, ti,
-                              tj, r_sub, precision, interpret)
+        s = _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p,
+                              s_weights, ti, tj, r_sub, precision,
+                              interpret)
         return s + tail, None
     if ti * tj <= 512 * 512:
         # Both outputs fit VMEM: capture Z in the same pass (one read of
         # the register bank).
-        s, z = _weighted_cdf_sum(regs, row_tiles, col_tiles, p, s_weights,
-                                 ti, tj, r_sub, precision, interpret,
-                                 emit_z0=True)
+        s, z = _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p,
+                                 s_weights, ti, tj, r_sub, precision,
+                                 interpret, emit_z0=True)
         return s + tail, z
     # Large tiles: single-output passes (S, then the 1-bin Z pass).
-    s = _weighted_cdf_sum(regs, row_tiles, col_tiles, p, s_weights, ti, tj,
-                          r_sub, precision, interpret)
-    z = _weighted_cdf_sum(regs, row_tiles, col_tiles, p, {0: 1.0}, ti, tj,
-                          r_sub, precision, interpret)
+    s = _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p,
+                          s_weights, ti, tj, r_sub, precision, interpret)
+    z = _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p,
+                          {0: 1.0}, ti, tj, r_sub, precision, interpret)
     return s + tail, z
 
 
