@@ -162,8 +162,9 @@ def _run():
         """One full all-pairs screened pass; returns total screen hits.
 
         Matches the engine's fetch discipline (parallel/screened.py): all
-        chunks dispatched back-to-back, one small count array fetched, full
-        masks pulled only for chunks that contain candidates.
+        chunks dispatched back-to-back, one small PER-TILE count array
+        fetched, hit masks pulled only for the individual tiles that
+        contain candidates.
         """
         tau_s = jnp.float32(tau_scr + tau_jitter)
         pending = []
@@ -176,11 +177,11 @@ def _run():
                 TI, n_bands, True, True,
             )
             pending.append((hits, cnt))
-        counts = np.asarray(jnp.stack([c for _, c in pending]))
-        total = 0
-        for (h, _), cnt in zip(pending, counts):
-            if cnt:
-                total += int(np.asarray(h).sum())
+        counts = np.asarray(jnp.concatenate([c for _, c in pending]))
+        total = int(counts.sum())
+        for ci, (h, _) in enumerate(pending):
+            for t in np.nonzero(counts[ci * CHUNK:(ci + 1) * CHUNK])[0]:
+                np.nonzero(np.asarray(h[t]))  # candidate-extraction cost
         return total
 
     pairs = N_GENOMES * (N_GENOMES - 1) // 2

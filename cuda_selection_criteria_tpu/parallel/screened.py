@@ -114,7 +114,7 @@ def _screen_chunk(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
         s, z, e, fp, r_tiles * ti, c_tiles * ti, n_real, tau_scr, tau_cb,
         p, n_bands, ti, ti, use_cb, use_smh,
     )
-    return hits, jnp.sum(hits, dtype=jnp.int32)
+    return hits, jnp.sum(hits, axis=(1, 2), dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("p", "values", "p_aux", "values_aux",
@@ -163,7 +163,7 @@ def _screen_chunk_hllaux(regs, aux_regs, r_tiles, c_tiles, e, n_real,
             z_a >= m_a * v_slack * v_i[:, :, None] * v_j[:, None, :]
         )
     hits &= aux_pass
-    return hits, jnp.sum(hits, dtype=jnp.int32)
+    return hits, jnp.sum(hits, axis=(1, 2), dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("n_bands", "ti", "use_cb", "use_smh"))
@@ -368,7 +368,8 @@ class ScreenPlan:
         return rows[live], cols[live]
 
     def screen_chunk(self, r_chunk, c_chunk):
-        """One fused screen dispatch over a chunk of tiles: (hits, count)."""
+        """One fused screen dispatch over a chunk of tiles:
+        (hits (T,ti,ti), per-tile counts (T,))."""
         if self.coef_aux is not None:
             return _screen_chunk_hllaux(
                 self.d_regs, self.d_aux_regs, jnp.asarray(r_chunk),
@@ -388,9 +389,10 @@ class ScreenPlan:
 
         Dispatches every chunk before fetching any result (the device
         pipelines the screen kernels back-to-back), then fetches ONE small
-        array of per-chunk hit counts and pulls full hit masks only for
-        the (rare) chunks that actually contain candidates - the N^2 mask
-        bytes never cross the host link.
+        array of PER-TILE hit counts and pulls hit masks only for the
+        individual tiles that actually contain candidates - the N^2 mask
+        bytes never cross the host link, and a lone hit no longer drags
+        its whole chunk's masks with it.
         """
         n_live = len(rows)
         if n_live == 0:
@@ -411,15 +413,15 @@ class ScreenPlan:
             hits, cnt = self.screen_chunk(r_chunk, c_chunk)
             pending.append((r_chunk, c_chunk, hits, cnt))
 
-        counts = np.asarray(jnp.stack([c for _, _, _, c in pending]))
+        counts = np.asarray(
+            jnp.concatenate([c for _, _, _, c in pending]))
         cand = []
-        for (r_chunk, c_chunk, hits, _), cnt in zip(pending, counts):
-            if not cnt:
-                continue
-            tt, ri, cj = np.nonzero(np.asarray(hits))
-            gi = r_chunk[tt] * ti + ri
-            gj = c_chunk[tt] * ti + cj
-            cand.extend(zip(gi.tolist(), gj.tolist()))
+        for ci, (r_chunk, c_chunk, hits, _) in enumerate(pending):
+            for t in np.nonzero(counts[ci * chunk:(ci + 1) * chunk])[0]:
+                ri, cj = np.nonzero(np.asarray(hits[t]))
+                gi = r_chunk[t] * ti + ri
+                gj = c_chunk[t] * ti + cj
+                cand.extend(zip(gi.tolist(), gj.tolist()))
         return sorted(set(cand))
 
     def device_hist_fn(self, chunk=256):
