@@ -37,7 +37,10 @@ P = 14
 M_SMH = 32  # aux_bytes=256 default -> m=32 buckets
 TAU = 0.9
 TI = 512
-CHUNK = 128
+# 132 divides the 528-tile triangle schedule exactly: chunk-padding waste
+# (repeat-dispatched tiles) would otherwise burn ~20% of the MXU work
+# (528 -> 640 at chunk=128).
+CHUNK = 132
 N_GENOMES = 16384
 ITEMS_PER_GENOME = 2048
 
@@ -142,7 +145,11 @@ def _run():
     tau = criteria.effective_tau(TAU)
     tau_scr = np.float32(screened.screen_tau(tau))
     tau_cb = np.float32(tau * (1.0 - 1e-5))
-    values = screen.bank_values(regs)
+    # Truncated telescope (one-sided overestimate; see
+    # ops/screen.truncate_values): same conservative screen, ~3x fewer
+    # MXU passes on this bank.
+    values = screen.truncate_values(
+        screen.bank_values(regs), float(e.max()), P)
 
     # Device-resident bank (production holds the bank on-chip across
     # queries; the upload is not part of the per-query cost).

@@ -149,6 +149,32 @@ def bank_values(regs):
     return tuple(int(v) for v in np.unique(np.asarray(regs)))
 
 
+def truncate_values(values, max_card, p, fp_band_log2=10):
+    """Drop telescope bins above a cutoff - a one-sided screen speedup.
+
+    With the value list truncated at v_c, screen_s_z's closed-form tail
+    R * 2^-b_last counts every register with x > b_last as 2^-b_last
+    >= 2^-x, so the computed harmonic sum OVERESTIMATES the true S -
+    which can only ADD screen candidates (the exact host confirmation
+    absorbs them), never lose one. The cutoff places the overestimate
+    band at ~2^-fp_band_log2 of the screen threshold:
+
+        eps = R * 2^-v_c,  s_thresh = alpha*m^2*(1+tau')/e_sum,
+        eps/s_thresh <~ 2^(1-v_c) * max_card / m
+        ==> v_c = ceil(log2(max_card/m)) + 1 + fp_band_log2.
+
+    Registers cluster a few ranks above log2(n/m), so this typically cuts
+    the matmul count ~2-3x while adding ~0.1% borderline candidates.
+    """
+    m = 1 << p
+    v_c = int(np.ceil(np.log2(max(float(max_card), 1.0) / m))
+              ) + 1 + fp_band_log2
+    kept = tuple(v for v in values if v <= v_c)
+    if len(kept) < 1:
+        return tuple(values[:1])
+    return kept
+
+
 @partial(jax.jit, static_argnames=("p", "values", "ti", "tj",
                                    "r_sub", "precision", "interpret"))
 def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
@@ -171,7 +197,10 @@ def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
       col_tiles: int32 (T,) col-block index per tile (units of tj rows).
       p: static HLL precision.
       values: static sorted tuple of distinct register values present in
-        the real rows (bank_values(regs)).
+        the real rows (bank_values(regs)) - or a truncate_values() prefix
+        of it, in which case S is a guaranteed OVERESTIMATE (registers
+        above the last value count as the last value); screening callers
+        rely on exactly that one-sidedness.
       regs_cols: optional separate column bank (row_tiles index `regs`,
         col_tiles index `regs_cols`); None = both sides from `regs`. Used
         by the ring-sharded engine, where the column strip circulates over

@@ -215,7 +215,8 @@ def select_pairs_ring(bank, params, mesh=None, ti=128):
         n_bands = 1
         fp = np.zeros((n_pad, 1), np.int32)
 
-    values = screen.bank_values(regs_s)
+    values = screen.truncate_values(
+        screen.bank_values(regs_s), float(e_s.max(initial=1.0)), bank.p)
     tau_scr = np.float32(screen_tau(tau, params.screen_delta))
     tau_cb = np.float32(tau * (1.0 - 1e-5))
     base = (np.arange(n_dev, dtype=np.int32) * strip)

@@ -319,12 +319,20 @@ class ScreenPlan:
             coef = hll_aux_threshold_coef(crit, self.tau, zs, params.order_n)
             if coef is not None:
                 self.coef_aux = jnp.float32(coef * (1.0 + SCREEN_DELTA_AUX))
-                self.values_aux = screen.bank_values(self.aux_s)
+                self.values_aux = screen.truncate_values(
+                    screen.bank_values(self.aux_s),
+                    float(np.trunc(bank.cards).max(initial=1.0)),
+                    bank.aux_param)
                 self.d_aux_regs = jnp.asarray(aux_p)
 
         self.d_regs = jnp.asarray(regs_p)
         self.d_e = jnp.asarray(e_p.astype(np.float32))
-        self.values = screen.bank_values(self.regs_s)
+        # Truncated telescope: a one-sided (overestimating) harmonic sum
+        # with ~2-3x fewer MXU passes; extra borderline candidates go to
+        # the exact confirmation (ops/screen.truncate_values).
+        max_card = float(self.e_s.max(initial=1.0))
+        self.values = screen.truncate_values(
+            screen.bank_values(self.regs_s), max_card, bank.p)
         self.tau_scr = np.float32(screen_tau(self.tau, params.screen_delta))
         # CB margin: the screen divides in f32; relax by 1e-5 relative and
         # let the oracle apply the exact f64 comparison.
@@ -397,31 +405,40 @@ class ScreenPlan:
         n_live = len(rows)
         if n_live == 0:
             return []
-        # Pad the live-tile list to a chunk multiple with repeats of the
-        # last tile (duplicates are deduped below) so every dispatch
-        # reuses one compiled shape.
+        # Full chunks reuse one compiled shape; the remainder is padded to
+        # a small power-of-two bucket (repeats of the last tile, deduped
+        # below) instead of a whole extra chunk - chunk-padding repeats
+        # are wasted MXU work, not just wasted dispatch.
         chunk = min(chunk, n_live)
-        n_sched = -(-n_live // chunk) * chunk
-        rows = np.pad(rows, (0, n_sched - n_live), constant_values=rows[-1])
-        cols = np.pad(cols, (0, n_sched - n_live), constant_values=cols[-1])
-
         ti = self.ti
+        spans = [(c0, chunk) for c0 in range(0, n_live - chunk + 1, chunk)]
+        rem = n_live - len(spans) * chunk
+        if rem:
+            bucket = min(chunk, max(8, 1 << (rem - 1).bit_length()))
+            spans.append((n_live - rem, bucket))
+
         pending = []
-        for c0 in range(0, n_sched, chunk):
-            r_chunk = rows[c0:c0 + chunk]
-            c_chunk = cols[c0:c0 + chunk]
+        for c0, width in spans:
+            take = min(width, n_live - c0)
+            r_chunk = np.pad(rows[c0:c0 + take], (0, width - take),
+                             constant_values=rows[-1])
+            c_chunk = np.pad(cols[c0:c0 + take], (0, width - take),
+                             constant_values=cols[-1])
             hits, cnt = self.screen_chunk(r_chunk, c_chunk)
             pending.append((r_chunk, c_chunk, hits, cnt))
 
         counts = np.asarray(
             jnp.concatenate([c for _, _, _, c in pending]))
         cand = []
-        for ci, (r_chunk, c_chunk, hits, _) in enumerate(pending):
-            for t in np.nonzero(counts[ci * chunk:(ci + 1) * chunk])[0]:
+        pos = 0
+        for r_chunk, c_chunk, hits, _ in pending:
+            width = len(r_chunk)
+            for t in np.nonzero(counts[pos:pos + width])[0]:
                 ri, cj = np.nonzero(np.asarray(hits[t]))
                 gi = r_chunk[t] * ti + ri
                 gj = c_chunk[t] * ti + cj
                 cand.extend(zip(gi.tolist(), gj.tolist()))
+            pos += width
         return sorted(set(cand))
 
     def device_hist_fn(self, chunk=256):

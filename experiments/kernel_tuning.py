@@ -39,7 +39,8 @@ def main(argv=None):
     z = np.load(BANK)
     regs = z["regs"]
     n = regs.shape[0]
-    values = screen.bank_values(regs)
+    values = screen.truncate_values(
+        screen.bank_values(regs), float(z["e"].max()), 14)
     d_regs = jnp.asarray(regs)
     rng = np.random.default_rng(3)
 
