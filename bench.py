@@ -55,9 +55,12 @@ V5E_INT8_OPS_PER_SEC = 394e12
 def _configure_jax():
     import jax
 
-    os.makedirs(COMPILE_CACHE, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", COMPILE_CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Accelerator-only persistent cache (CPU AOT caches are
+    # machine-feature-specific - see package enable_compile_cache).
+    if jax.default_backend() != "cpu":
+        os.makedirs(COMPILE_CACHE, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", COMPILE_CACHE)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def _build_bank():

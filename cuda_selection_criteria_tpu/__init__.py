@@ -30,14 +30,22 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the fused screen kernel recompiles per
-# (tile size, present-value set), and real banks each have their own value
-# set - caching makes repeat CLI invocations / reruns start hot. Respect
-# an explicit user setting if one exists.
-if _jax.config.jax_compilation_cache_dir is None:
-    _jax.config.update("jax_compilation_cache_dir",
-                       "/tmp/csc_jax_compile_cache")
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+def enable_compile_cache():
+    """Persistent compilation cache for accelerator backends.
+
+    The fused screen kernel recompiles per (tile size, present-value set)
+    and real banks each have their own value set, so caching makes repeat
+    CLI invocations start hot. CPU is deliberately excluded: XLA:CPU AOT
+    artifacts are machine-feature-specific and can SIGILL when a cache
+    written on one host generation is loaded on another. Respects an
+    explicit user setting. Called by the CLIs and bench at startup.
+    """
+    if _jax.default_backend() == "cpu":
+        return
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update("jax_compilation_cache_dir",
+                           "/tmp/csc_jax_compile_cache")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"
 

@@ -30,6 +30,9 @@ def main(argv=None):
         print("Option -c invalid. The accepted criteria are hll_a, hll_an and smh_a.")
         return 0
 
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
     from ..models.bank import build_bank_from_files  # lazy: jax import cost
     from ..utils.filelist import load_file_list
     from ..utils import formats

@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--sharded", action="store_true",
                     help="use the multi-device mesh engine")
+    ap.add_argument("--checkpoint", default=None,
+                    help="sweep progress file: long runs resume here after "
+                         "a fault instead of recomputing completed chunks")
     args = ap.parse_args(argv)
 
     if args.usage:
@@ -44,6 +47,9 @@ def main(argv=None):
         print("Option -c invalid. The accepted criteria are hll_a, hll_an and smh_a.")
         return 0
 
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
     from ..models import SketchBank
     from ..parallel.selection import SelectionParams, select_pairs, format_results
     from ..utils.filelist import load_file_list
@@ -65,12 +71,16 @@ def main(argv=None):
         block=args.block,
         precision=args.precision,
     )
+    from ..utils.resilience import run_with_transient_retry
+
     if args.sharded:
         from ..parallel.mesh import select_pairs_sharded
 
-        results = select_pairs_sharded(bank, params)
+        results = run_with_transient_retry(
+            lambda: select_pairs_sharded(bank, params))
     else:
-        results = select_pairs(bank, params)
+        results = run_with_transient_retry(
+            lambda: select_pairs(bank, params, checkpoint=args.checkpoint))
     for line in format_results(results):
         print(line)
     return 0

@@ -45,6 +45,10 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
+
     from ..models.bank import SketchBank, build_bank_from_files
     from ..utils.filelist import load_file_list
     from ..utils import formats

@@ -251,6 +251,86 @@ def _screen_post(s, z, e, fp, row0, col0, n_real, tau_scr, tau_cb, p,
 # ---------------------------------------------------------------------------
 
 
+class _SweepCheckpoint:
+    """Append-only JSONL progress log for long screen sweeps.
+
+    Line 0: a header binding the file to one exact run (bank size,
+    criterion, tau, and a hash of the tile schedule) - resuming against a
+    different run errors instead of silently mixing results. Each further
+    line: {"span": [c0, width], "cand": [[i, j], ...]} for one completed
+    dispatch chunk. A torn final line (crash mid-write) is ignored; its
+    span simply recomputes. fsync per wave bounds lost work.
+    """
+
+    def __init__(self, fh, done_spans, done_candidates):
+        self._fh = fh
+        self.done_spans = done_spans
+        self.done_candidates = done_candidates
+        self._since_sync = 0
+
+    @classmethod
+    def open(cls, path, plan, rows, cols):
+        if path is None:
+            return None
+        import hashlib
+        import json
+        import os
+
+        header = {
+            "schedule_hash": hashlib.sha1(
+                rows.tobytes() + cols.tobytes()).hexdigest()[:16],
+            "n": int(plan.n),
+            "criterion": plan.crit,
+            "tau": float(plan.params.tau),
+            "ti": int(plan.ti),
+        }
+        done_spans = set()
+        done_cand = []
+        if os.path.exists(path) and os.path.getsize(path):
+            with open(path) as fh:
+                first = fh.readline()
+                try:
+                    if json.loads(first) != header:
+                        raise ValueError(
+                            f"checkpoint {path!r} belongs to a different "
+                            "run (bank/params/schedule changed)")
+                except json.JSONDecodeError as exc:
+                    raise ValueError(
+                        f"corrupt checkpoint header in {path!r}") from exc
+                for line in fh:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        break  # torn tail line: recompute that span
+                    done_spans.add(tuple(rec["span"]))
+                    done_cand.extend(map(tuple, rec["cand"]))
+            fh = open(path, "a")
+        else:
+            fh = open(path, "w")
+            fh.write(json.dumps(header) + "\n")
+            fh.flush()
+        return cls(fh, done_spans, done_cand)
+
+    def record(self, span, cand):
+        import json
+        import os
+
+        self._fh.write(json.dumps(
+            {"span": list(span), "cand": [list(c) for c in cand]}) + "\n")
+        self._since_sync += 1
+        if self._since_sync >= 64:
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
+            self._since_sync = 0
+
+    def close(self):
+        import os
+
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+        self._fh.close()
+
+
 class ScreenPlan:
     """Everything the screen cascade needs, prepared once per bank/params:
     the sorted+padded host arrays, the device-resident bank, and the
@@ -392,7 +472,7 @@ class ScreenPlan:
             self.use_cb, self.use_smh,
         )
 
-    def screen_tiles(self, rows, cols, chunk=64):
+    def screen_tiles(self, rows, cols, chunk=64, checkpoint=None, wave=64):
         """Cascade stage 2 over a live-tile list: candidate (i, j) pairs.
 
         Dispatches every chunk before fetching any result (the device
@@ -401,6 +481,12 @@ class ScreenPlan:
         individual tiles that actually contain candidates - the N^2 mask
         bytes never cross the host link, and a lone hit no longer drags
         its whole chunk's masks with it.
+
+        checkpoint: optional path for long sweeps - per-chunk progress
+        (span + its candidates) is appended and fsynced after every wave,
+        and a restarted run with the same bank/params/schedule skips
+        completed spans (SURVEY section 5 failure recovery; the sketch
+        files already checkpoint the build stage).
         """
         n_live = len(rows)
         if n_live == 0:
@@ -417,28 +503,42 @@ class ScreenPlan:
             bucket = min(chunk, max(8, 1 << (rem - 1).bit_length()))
             spans.append((n_live - rem, bucket))
 
-        pending = []
-        for c0, width in spans:
-            take = min(width, n_live - c0)
-            r_chunk = np.pad(rows[c0:c0 + take], (0, width - take),
-                             constant_values=rows[-1])
-            c_chunk = np.pad(cols[c0:c0 + take], (0, width - take),
-                             constant_values=cols[-1])
-            hits, cnt = self.screen_chunk(r_chunk, c_chunk)
-            pending.append((r_chunk, c_chunk, hits, cnt))
-
-        counts = np.asarray(
-            jnp.concatenate([c for _, _, _, c in pending]))
         cand = []
-        pos = 0
-        for r_chunk, c_chunk, hits, _ in pending:
-            width = len(r_chunk)
-            for t in np.nonzero(counts[pos:pos + width])[0]:
-                ri, cj = np.nonzero(np.asarray(hits[t]))
-                gi = r_chunk[t] * ti + ri
-                gj = c_chunk[t] * ti + cj
-                cand.extend(zip(gi.tolist(), gj.tolist()))
-            pos += width
+        ckpt = _SweepCheckpoint.open(checkpoint, self, rows, cols)
+        if ckpt is not None:
+            cand.extend(ckpt.done_candidates)
+            spans = [sp for sp in spans if sp not in ckpt.done_spans]
+
+        # Waves bound how much undone work a fault can lose while keeping
+        # the dispatch pipeline deep within a wave.
+        for w0 in range(0, len(spans), wave):
+            pending = []
+            for c0, width in spans[w0:w0 + wave]:
+                take = min(width, n_live - c0)
+                r_chunk = np.pad(rows[c0:c0 + take], (0, width - take),
+                                 constant_values=rows[-1])
+                c_chunk = np.pad(cols[c0:c0 + take], (0, width - take),
+                                 constant_values=cols[-1])
+                hits, cnt = self.screen_chunk(r_chunk, c_chunk)
+                pending.append(((c0, width), r_chunk, c_chunk, hits, cnt))
+
+            counts = np.asarray(
+                jnp.concatenate([c for _, _, _, _, c in pending]))
+            pos = 0
+            for span, r_chunk, c_chunk, hits, _ in pending:
+                width = len(r_chunk)
+                span_cand = []
+                for t in np.nonzero(counts[pos:pos + width])[0]:
+                    ri, cj = np.nonzero(np.asarray(hits[t]))
+                    gi = r_chunk[t] * ti + ri
+                    gj = c_chunk[t] * ti + cj
+                    span_cand.extend(zip(gi.tolist(), gj.tolist()))
+                pos += width
+                cand.extend(span_cand)
+                if ckpt is not None:
+                    ckpt.record(span, span_cand)
+        if ckpt is not None:
+            ckpt.close()
         return sorted(set(cand))
 
     def device_hist_fn(self, chunk=256):
@@ -486,7 +586,7 @@ class ScreenPlan:
         return oracle.confirm_pairs(cand)
 
 
-def select_pairs_screened(bank, params, ti=512, chunk=64):
+def select_pairs_screened(bank, params, ti=512, chunk=64, checkpoint=None):
     """All-pairs selection via the fused Pallas screen + exact confirmation.
 
     Supports every criterion: smh_a bands are screened on device via LSH
@@ -502,7 +602,7 @@ def select_pairs_screened(bank, params, ti=512, chunk=64):
     if not len(rows):
         return []
     rows, cols = plan.prune_tiles(rows, cols, chunk=max(chunk, 256))
-    cand = plan.screen_tiles(rows, cols, chunk=chunk)
+    cand = plan.screen_tiles(rows, cols, chunk=chunk, checkpoint=checkpoint)
     names = bank.names
     order = plan.order
     return [

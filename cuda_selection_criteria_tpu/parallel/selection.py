@@ -167,7 +167,7 @@ def _pad_rows(arr, lo, hi, block, fill=0):
     return np.pad(sl, pad, constant_values=fill)
 
 
-def select_pairs(bank, params):
+def select_pairs(bank, params, checkpoint=None):
     """All-pairs selection on a SketchBank; returns reference-ordered results.
 
     Returns:
@@ -191,7 +191,7 @@ def select_pairs(bank, params):
     if engine == "screened":
         from .screened import select_pairs_screened  # noqa: PLC0415 (cycle)
 
-        return select_pairs_screened(bank, params)
+        return select_pairs_screened(bank, params, checkpoint=checkpoint)
 
     tau = params.tau_eff
     # Device screen threshold: relaxed by the margin; candidates are

@@ -335,3 +335,32 @@ def test_screened_engine_fuzz_matches_host():
         assert [(a, b, round(j, 12)) for a, b, j in host] == [
             (a, b, round(j, 12)) for a, b, j in got
         ], (seed, tau, crit)
+
+
+def test_truncated_telescope_is_one_sided_overestimate():
+    """screen_s_z with truncate_values must OVERESTIMATE the true harmonic
+    sum for every pair (the conservative direction), match it exactly for
+    registers within the kept range, and keep Z exact."""
+    p, r = 8, 256
+    rng = np.random.default_rng(21)
+    regs = rng.integers(0, 26, size=(512, r), dtype=np.uint8)
+    full = screen.bank_values(regs)
+    trunc = screen.truncate_values(full, max_card=40.0, p=p)
+    assert trunc[-1] < full[-1] and len(trunc) < len(full)
+
+    rows = jnp.asarray(np.array([0, 1], np.int32))
+    cols = jnp.asarray(np.array([1, 1], np.int32))
+    s_full, z_full = screen.screen_s_z(jnp.asarray(regs), rows, cols, p,
+                                       full, ti=256, tj=256)
+    s_tr, z_tr = screen.screen_s_z(jnp.asarray(regs), rows, cols, p,
+                                   trunc, ti=256, tj=256)
+    s_full, s_tr = np.asarray(s_full), np.asarray(s_tr)
+    assert (s_tr >= s_full - 1e-4).all()  # one-sided (tolerance: f32)
+    assert (s_tr > s_full + 1e-6).any()  # and actually truncating
+    # error bounded by the tail mass R * 2^-v_c
+    assert (s_tr - s_full <= r * 2.0 ** -float(trunc[-1]) + 1e-3).all()
+    np.testing.assert_array_equal(np.asarray(z_full), np.asarray(z_tr))
+
+    # cutoff formula: v_c grows with cardinality, never empties the list
+    assert screen.truncate_values((0, 1, 2), 1e9, 14) == (0, 1, 2)
+    assert len(screen.truncate_values((30, 40), 10.0, 14)) >= 1
