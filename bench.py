@@ -2,10 +2,10 @@
 
 Runs the flagship screened selection path - the fused Pallas MXU kernel
 (harmonic-sum / zero-count indicator matmuls, int8 MXU) plus the fused
-gate/estimator postprocess (CB mask + smh_a LSH banding + ORIGINAL-
-estimator Jaccard screen) - over the FULL i<j pair triangle of a
-synthetic sketch bank built through the real device pipeline, on whatever
-backend jax.devices() provides (the driver runs this on one real TPU chip).
+gate/estimator postprocess (CB mask + smh_a LSH banding + conservative
+truncated-telescope Jaccard screen) - over the FULL i<j pair triangle of
+a synthetic sketch bank, on whatever backend jax.devices() provides (the
+driver runs this on one real TPU chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus the
 raw-kernel rate and achieved int8-MXU utilization as extra keys}.
@@ -22,6 +22,9 @@ Robustness (VERDICT round 1): the synthetic bank is cached to /tmp across
 runs, compiled executables persist in a jax compilation cache, and a
 transient TPU backend error triggers ONE re-exec after a backoff - so the
 driver's capture lands within its timeout even on a cold, flaky tunnel.
+
+experiments/scale_sweep.py reuses build_synthetic_bank/measure for the
+throughput-vs-N table.
 """
 
 import json
@@ -37,14 +40,10 @@ P = 14
 M_SMH = 32  # aux_bytes=256 default -> m=32 buckets
 TAU = 0.9
 TI = 512
-# 132 divides the 528-tile triangle schedule exactly: chunk-padding waste
-# (repeat-dispatched tiles) would otherwise burn ~20% of the MXU work
-# (528 -> 640 at chunk=128).
-CHUNK = 132
+CHUNK = 132  # dispatch chunk; remainders use small bucketed dispatches
 N_GENOMES = 16384
 ITEMS_PER_GENOME = 2048
 
-BANK_CACHE = f"/tmp/csc_bench_bank_v3_{N_GENOMES}x{ITEMS_PER_GENOME}.npz"
 COMPILE_CACHE = "/tmp/csc_jax_compile_cache"
 RETRY_ENV = "CSC_BENCH_ATTEMPT"
 
@@ -63,14 +62,14 @@ def _configure_jax():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _build_bank():
+def build_synthetic_bank(n_genomes=N_GENOMES, items=ITEMS_PER_GENOME):
     """Synthetic bank with the EXACT register distribution of the real
     build pipeline, constructed host-side and cached to /tmp.
 
     The bench measures the screen SWEEP, so bank fidelity means register
-    fidelity: each genome gets ITEMS_PER_GENOME uniform 64-bit hashes
-    (WangHash of distinct k-mers is uniform) pushed through the reference
-    index/rank rule (hll.h:886-899) - index = top p bits, rank =
+    fidelity: each genome gets `items` uniform 64-bit hashes (WangHash of
+    distinct k-mers is uniform) pushed through the reference index/rank
+    rule (hll.h:886-899) - index = top p bits, rank =
     clz(((h<<1)|1) << (p-1)) + 1 - and a register max-reduce. This yields
     the same present-value set / harmonic-sum statistics as the device
     build (the round-1 bench built the same bank through the device
@@ -79,18 +78,18 @@ def _build_bank():
     are the true batched f64 MLE. SMH buckets are uniform u64 (band
     fingerprints of unrelated genomes collide ~never either way).
     """
-    if os.path.exists(BANK_CACHE):
-        z = np.load(BANK_CACHE)
+    cache = f"/tmp/csc_bench_bank_v3_{n_genomes}x{items}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
         return z["regs"], z["aux"], z["e"]
 
     from cuda_selection_criteria_tpu.utils.hostref import ertl_mle_batch
 
     rng = np.random.default_rng(0xBE7C)
-    regs = np.zeros((N_GENOMES, 1 << P), np.uint8)
-    gchunk = 1024
-    for g0 in range(0, N_GENOMES, gchunk):
-        h = rng.integers(0, 1 << 64, size=(gchunk, ITEMS_PER_GENOME),
-                         dtype=np.uint64)
+    regs = np.zeros((n_genomes, 1 << P), np.uint8)
+    gchunk = min(1024, n_genomes)
+    for g0 in range(0, n_genomes, gchunk):
+        h = rng.integers(0, 1 << 64, size=(gchunk, items), dtype=np.uint64)
         idx = (h >> np.uint64(64 - P)).astype(np.int64)
         v = ((h << np.uint64(1)) | np.uint64(1)) << np.uint64(P - 1)
         hi32 = (v >> np.uint64(32)).astype(np.float64)
@@ -102,29 +101,40 @@ def _build_bank():
             63 - np.floor(np.log2(lo32)),
         ).astype(np.int64)
         rank = (lz + 1).astype(np.uint8)
-        flat = (np.arange(g0, g0 + gchunk)[:, None] - g0) * (1 << P) + idx
+        flat = np.arange(gchunk)[:, None] * (1 << P) + idx
         sub = np.zeros(gchunk * (1 << P), np.uint8)
         np.maximum.at(sub, flat.ravel(), rank.ravel())
         regs[g0:g0 + gchunk] = sub.reshape(gchunk, 1 << P)
 
-    aux = rng.integers(0, 1 << 63, size=(N_GENOMES, M_SMH), dtype=np.uint64)
+    aux = rng.integers(0, 1 << 63, size=(n_genomes, M_SMH), dtype=np.uint64)
 
-    offs = (np.arange(N_GENOMES, dtype=np.int64)[:, None] * 64
+    offs = (np.arange(n_genomes, dtype=np.int64)[:, None] * 64
             + regs.astype(np.int64))
     hists = np.bincount(
-        offs.ravel(), minlength=N_GENOMES * 64
-    ).reshape(N_GENOMES, 64)
+        offs.ravel(), minlength=n_genomes * 64
+    ).reshape(n_genomes, 64)
     e = np.trunc(ertl_mle_batch(hists, P))
 
     # np.savez appends .npz when missing - keep the suffix so the atomic
     # rename source actually exists.
-    tmp = BANK_CACHE.replace(".npz", f".tmp{os.getpid()}.npz")
+    tmp = cache.replace(".npz", f".tmp{os.getpid()}.npz")
     np.savez(tmp, regs=regs, aux=aux, e=e)
-    os.replace(tmp, BANK_CACHE)
+    os.replace(tmp, cache)
     return regs, aux, e
 
 
-def _run():
+def _spans(n_tiles, chunk):
+    """Full chunks + one small bucketed remainder (minimal padding)."""
+    out = [(c0, chunk) for c0 in range(0, n_tiles - chunk + 1, chunk)]
+    rem = n_tiles - len(out) * chunk
+    if rem:
+        out.append((n_tiles - rem,
+                    min(chunk, max(8, 1 << (rem - 1).bit_length()))))
+    return out
+
+
+def measure(n_genomes=N_GENOMES, reps=3, items=ITEMS_PER_GENOME):
+    """(headline_pairs_per_sec, raw_pairs_per_sec, mxu_util) at one N."""
     import jax
     import jax.numpy as jnp
     from cuda_selection_criteria_tpu.ops import criteria, screen
@@ -140,7 +150,7 @@ def _run():
             f"interpret. Run on the TPU."
         )
 
-    regs, aux, e = _build_bank()
+    regs, aux, e = build_synthetic_bank(n_genomes, items)
     order = np.argsort(e, kind="stable")
     regs, aux, e = regs[order], aux[order], e[order]
 
@@ -160,13 +170,19 @@ def _run():
     d_fp = screened.band_fingerprints(jnp.asarray(aux), n_rows_b, n_bands)
     d_e = jnp.asarray(e.astype(np.float32))
 
-    nb = N_GENOMES // TI
+    nb = n_genomes // TI
     tiles = [(i, j) for i in range(nb) for j in range(i, nb)]
     rows = np.array([t[0] for t in tiles], np.int32)
     cols = np.array([t[1] for t in tiles], np.int32)
-    n_sched = -(-len(tiles) // CHUNK) * CHUNK
-    rows = np.pad(rows, (0, n_sched - len(tiles)), constant_values=rows[-1])
-    cols = np.pad(cols, (0, n_sched - len(tiles)), constant_values=cols[-1])
+    spans = _spans(len(tiles), min(CHUNK, len(tiles)))
+
+    def chunk_args(c0, width):
+        take = min(width, len(rows) - c0)
+        r = np.pad(rows[c0:c0 + take], (0, width - take),
+                   constant_values=rows[-1])
+        c = np.pad(cols[c0:c0 + take], (0, width - take),
+                   constant_values=cols[-1])
+        return jnp.asarray(r), jnp.asarray(c)
 
     def sweep(tau_jitter):
         """One full all-pairs screened pass; returns total screen hits.
@@ -178,26 +194,26 @@ def _run():
         """
         tau_s = jnp.float32(tau_scr + tau_jitter)
         pending = []
-        for c0 in range(0, n_sched, CHUNK):
-            r_chunk = rows[c0:c0 + CHUNK]
-            c_chunk = cols[c0:c0 + CHUNK]
+        for c0, width in spans:
+            r_chunk, c_chunk = chunk_args(c0, width)
             hits, cnt = screened._screen_chunk(
-                d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk), d_e,
-                d_fp, jnp.int32(N_GENOMES), tau_s, tau_cb, P, values,
-                TI, n_bands, True, True,
+                d_regs, r_chunk, c_chunk, d_e, d_fp, jnp.int32(n_genomes),
+                tau_s, tau_cb, P, values, TI, n_bands, True, True,
             )
             pending.append((hits, cnt))
         counts = np.asarray(jnp.concatenate([c for _, c in pending]))
         total = int(counts.sum())
-        for ci, (h, _) in enumerate(pending):
-            for t in np.nonzero(counts[ci * CHUNK:(ci + 1) * CHUNK])[0]:
+        pos = 0
+        for h, cnt in pending:
+            width = cnt.shape[0]
+            for t in np.nonzero(counts[pos:pos + width])[0]:
                 np.nonzero(np.asarray(h[t]))  # candidate-extraction cost
+            pos += width
         return total
 
-    pairs = N_GENOMES * (N_GENOMES - 1) // 2
+    pairs = n_genomes * (n_genomes - 1) // 2
 
     sweep(0.0)  # warmup / compile
-    reps = 3
     t0 = time.perf_counter()
     for k in range(reps):
         sweep(k * 1e-7)  # jitter defeats any transparent result caching
@@ -209,7 +225,7 @@ def _run():
     # reference's kernel-timing protocol (time_smh_cuda.cpp:276-307, with
     # the sync the reference forgot). Fresh tile permutations per rep
     # defeat relay-level result caching.
-    def _raw_chunk(bank_regs, r_tiles, c_tiles):
+    def _raw_chunks(bank_regs, r_tiles, c_tiles):
         s, z = screen.screen_s_z(bank_regs, r_tiles, c_tiles, P, values,
                                  ti=TI, tj=TI)
         tot = jnp.sum(s, dtype=jnp.float32)
@@ -217,16 +233,22 @@ def _run():
             tot += jnp.sum(z, dtype=jnp.float32)
         return tot
 
-    raw_chunk = jax.jit(_raw_chunk)
+    import jax as _jax
+
+    raw_chunk = _jax.jit(_raw_chunks)
     rng = np.random.default_rng(7)
 
     def raw_sweep():
-        perm = rng.permutation(n_sched)
+        perm = rng.permutation(len(rows))
         rp, cp = rows[perm], cols[perm]
         sums = []
-        for c0 in range(0, n_sched, CHUNK):
-            sums.append(raw_chunk(d_regs, jnp.asarray(rp[c0:c0 + CHUNK]),
-                                  jnp.asarray(cp[c0:c0 + CHUNK])))
+        for c0, width in spans:
+            take = min(width, len(rp) - c0)
+            r = np.pad(rp[c0:c0 + take], (0, width - take),
+                       constant_values=rp[-1])
+            c = np.pad(cp[c0:c0 + take], (0, width - take),
+                       constant_values=cp[-1])
+            sums.append(raw_chunk(d_regs, jnp.asarray(r), jnp.asarray(c)))
         return float(jnp.stack(sums).sum())  # one blocking scalar fetch
 
     raw_sweep()  # warmup / compile
@@ -236,14 +258,18 @@ def _run():
     raw_dt = (time.perf_counter() - t0) / reps
     # The schedule covers diagonal tiles too: count scheduled tile-pairs,
     # not triangle pairs, for the raw kernel rate.
-    sched_pairs = n_sched * TI * TI
+    sched_pairs = sum(w for _, w in spans) * TI * TI
     raw_pairs_per_sec = sched_pairs / raw_dt
     # int8-MXU ops per scheduled pair: one (TI x R) @ (R x TI) indicator
     # matmul per telescope bin (len(values) - 1 bins; the top value is the
     # closed-form tail, and Z rides the v=0 matmul in the same pass).
     ops_per_pair = 2 * (len(values) - 1) * (1 << P)
     mxu_util = raw_pairs_per_sec * ops_per_pair / V5E_INT8_OPS_PER_SEC
+    return pairs_per_sec, raw_pairs_per_sec, mxu_util
 
+
+def _run():
+    pairs_per_sec, raw_pairs_per_sec, mxu_util = measure()
     print(
         json.dumps(
             {

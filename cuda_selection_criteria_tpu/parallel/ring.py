@@ -24,9 +24,9 @@ strip D times = N * 16 KiB total per device, fully pipelined on ICI.
 
 The screen math, margins, and the exact host confirmation are shared
 with the other engines (conservative superset screen -> PairOracle), so
-output stays bit-identical to the reference. Criteria: smh_a / smh_only /
-cb / baseline (the hll-aux union gate would need a second circulating
-buffer; those criteria keep the replicated-bank engines).
+output stays bit-identical to the reference. Every criterion is
+supported: for hll_a/hll_an the aux-HLL registers circulate as a second
+(tiny) strip and the conservative aux-union gate runs per step.
 """
 
 from functools import partial
@@ -42,15 +42,20 @@ from .screened import band_fingerprints, screen_tau
 
 
 def make_ring_screen_step(mesh, p, values, ti, strip, n_bands, use_cb,
-                          use_smh):
+                          use_smh, aux=None):
     """Jitted D-step ring sweep over a ("rows",) mesh.
 
     Inputs (shard_map specs):
       regs  (N, R)  P("rows")   - resident row strips
+      aux_regs (N, 2^p_aux) P("rows") - only for the hll-aux criteria
       e     (N,)    P("rows")
       fp    (N, B)  P("rows")
       base  (D,)    P("rows")   - global start index of each strip
-      n_real, tau_scr, tau_cb   - replicated scalars
+      n_real, tau_scr, tau_cb, [coef_aux] - replicated scalars
+
+    aux: None, or (p_aux, values_aux) - adds a second circulating strip
+    (the aux-HLL registers, ~1% of the primary bytes) and the
+    conservative aux-union gate of hll_a/hll_an.
 
     Returns, both P("rows")-sharded over the leading axis:
       hits   (D * T, ti, ti) bool  - T = (strip/ti)^2 tiles per step,
@@ -65,13 +70,15 @@ def make_ring_screen_step(mesh, p, values, ti, strip, n_bands, use_cb,
     ct = jnp.asarray(np.tile(np.arange(nt, dtype=np.int32), nt))
     n_dev = mesh.shape["rows"]
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    p_aux, values_aux = aux if aux is not None else (None, None)
 
-    def step(regs_mine, e_mine, fp_mine, base_mine, n_real, tau_scr,
-             tau_cb):
+    def step(regs_mine, aux_mine, e_mine, fp_mine, base_mine, n_real,
+             tau_scr, tau_cb, coef_aux):
         base_mine = base_mine[0]
 
         def body(s, carry):
-            col_regs, col_e, col_fp, col_base, hits, counts = carry
+            (col_regs, col_aux, col_e, col_fp, col_base, hits,
+             counts) = carry
             ss, zz = screen.screen_s_z(
                 regs_mine, rt, ct, p, values, ti=ti, tj=ti,
                 regs_cols=col_regs,
@@ -81,24 +88,35 @@ def make_ring_screen_step(mesh, p, values, ti, strip, n_bands, use_cb,
                 col_base, n_real, tau_scr, tau_cb, p, n_bands, ti, nt,
                 use_cb, use_smh,
             )
+            if aux is not None:
+                s_a, z_a = screen.screen_s_z(
+                    aux_mine, rt, ct, p_aux, values_aux, ti=ti, tj=ti,
+                    regs_cols=col_aux,
+                )
+                h &= _ring_aux_pass(s_a, z_a, e_mine, col_e, coef_aux,
+                                    p_aux, ti, nt)
             hits = jax.lax.dynamic_update_slice(
                 hits, h, (s * t_per_step, 0, 0))
             counts = jax.lax.dynamic_update_slice(
                 counts, jnp.sum(h, axis=(1, 2), dtype=jnp.int32),
                 (s * t_per_step,))
-            # Rotate the circulating strip one hop around the ring (ICI
+            # Rotate the circulating strips one hop around the ring (ICI
             # neighbor transfer; overlaps the next step's kernel).
             col_regs = jax.lax.ppermute(col_regs, "rows", perm)
+            if aux is not None:
+                col_aux = jax.lax.ppermute(col_aux, "rows", perm)
             col_e = jax.lax.ppermute(col_e, "rows", perm)
             col_fp = jax.lax.ppermute(col_fp, "rows", perm)
             col_base = jax.lax.ppermute(col_base, "rows", perm)
-            return col_regs, col_e, col_fp, col_base, hits, counts
+            return (col_regs, col_aux, col_e, col_fp, col_base, hits,
+                    counts)
 
         hits0 = jnp.zeros((n_dev * t_per_step, ti, ti), bool)
         counts0 = jnp.zeros(n_dev * t_per_step, jnp.int32)
-        _, _, _, _, hits, counts = jax.lax.fori_loop(
+        _, _, _, _, _, hits, counts = jax.lax.fori_loop(
             0, n_dev, body,
-            (regs_mine, e_mine, fp_mine, base_mine[None], hits0, counts0),
+            (regs_mine, aux_mine, e_mine, fp_mine, base_mine[None],
+             hits0, counts0),
         )
         return hits, counts
 
@@ -107,17 +125,50 @@ def make_ring_screen_step(mesh, p, values, ti, strip, n_bands, use_cb,
         mesh=mesh,
         in_specs=(
             P("rows", None),  # regs strips
+            P("rows", None),  # aux strips (dummy when aux is None)
             P("rows"),  # e
             P("rows", None),  # fp
             P("rows"),  # base
             P(),  # n_real
             P(),  # tau_scr
             P(),  # tau_cb
+            P(),  # coef_aux
         ),
         out_specs=(P("rows"), P("rows")),
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+@partial(jax.jit, static_argnames=("p_aux", "ti", "nt"))
+def _ring_aux_pass(s_a, z_a, e_rows, e_cols, coef_aux, p_aux, ti, nt):
+    """Strip-pair variant of the hll-aux union gate
+    (screened._screen_chunk_hllaux): conservative threshold
+    t_aux <= coef*(e1+e2) + slack, division-free / separable."""
+    from ..ops.estimators import make_alpha
+    from .screened import SCREEN_DELTA_AUX
+
+    m_a = 1 << p_aux
+    alpha_a = np.float32(make_alpha(m_a))
+    rl = (jnp.repeat(jnp.arange(nt, dtype=jnp.int32), nt)[:, None] * ti
+          + jnp.arange(ti, dtype=jnp.int32)[None, :])
+    cl = (jnp.tile(jnp.arange(nt, dtype=jnp.int32), nt)[:, None] * ti
+          + jnp.arange(ti, dtype=jnp.int32)[None, :])
+    e_a = e_rows[rl]
+    e_b = e_cols[cl]
+    e_sum = e_a[:, :, None] + e_b[:, None, :]
+    c32 = coef_aux.astype(jnp.float32)
+    slack = np.float32(1.0 + SCREEN_DELTA_AUX)
+    aux_pass = (s_a * (e_sum * c32 + slack)
+                >= alpha_a * np.float32(m_a) * np.float32(m_a))
+    if z_a is not None:
+        v_i = jnp.exp(-c32 * e_a / m_a)
+        v_j = jnp.exp(-c32 * e_b / m_a)
+        v_slack = np.float32(np.exp(-float(slack) / m_a))
+        aux_pass |= (z_a > 0) & (
+            z_a >= m_a * v_slack * v_i[:, :, None] * v_j[:, None, :]
+        )
+    return aux_pass
 
 
 @partial(jax.jit, static_argnames=("p", "n_bands", "ti", "nt", "use_cb",
@@ -169,9 +220,8 @@ def _ring_post(s, z, e_rows, e_cols, fp_rows, fp_cols, row_base, col_base,
 
 def select_pairs_ring(bank, params, mesh=None, ti=128):
     """All-pairs selection with the bank SHARDED across devices (ring
-    systolic sweep). Same exact-output contract as the other engines.
-
-    Supports smh_a / smh_only / cb / baseline.
+    systolic sweep). Same exact-output contract as the other engines;
+    every criterion supported.
     """
     from jax.sharding import Mesh
 
@@ -179,7 +229,8 @@ def select_pairs_ring(bank, params, mesh=None, ti=128):
         devices = np.array(jax.devices())
         mesh = Mesh(devices.reshape(len(devices)), axis_names=("rows",))
     crit = params.criterion
-    if crit not in ("smh_a", "smh_only", "cb", "baseline"):
+    valid = ("smh_a", "smh_only", "cb", "baseline", "hll_a", "hll_an")
+    if crit not in valid:
         raise ValueError(f"ring engine does not support criterion {crit!r}")
     n = bank.n
     if n < 2:
@@ -189,6 +240,7 @@ def select_pairs_ring(bank, params, mesh=None, ti=128):
     tau = params.tau_eff
     use_cb = crit not in ("baseline", "smh_only")
     use_smh = crit in ("smh_a", "smh_only")
+    use_hllaux = crit in ("hll_a", "hll_an")
 
     order = bank.sorted_by_cardinality()
     e_s = np.trunc(bank.cards[order])
@@ -215,6 +267,25 @@ def select_pairs_ring(bank, params, mesh=None, ti=128):
         n_bands = 1
         fp = np.zeros((n_pad, 1), np.int32)
 
+    # hll-aux: the aux-HLL registers become a second circulating strip;
+    # coef <= 0 disables the gate (screen stays a superset either way).
+    from .screened import hll_aux_threshold_coef, SCREEN_DELTA_AUX
+
+    aux_spec = None
+    coef = 0.0
+    aux_regs_p = np.zeros((n_pad, 8), np.uint8)  # dummy when unused
+    if use_hllaux:
+        zs = criteria.z_sigma(params.z_score, bank.aux_param)
+        c = hll_aux_threshold_coef(crit, tau, zs, params.order_n)
+        if c is not None:
+            coef = c * (1.0 + SCREEN_DELTA_AUX)
+            aux_regs_p = np.zeros((n_pad, aux_s.shape[1]), np.uint8)
+            aux_regs_p[:n] = aux_s
+            values_aux = screen.truncate_values(
+                screen.bank_values(aux_s), float(e_s.max(initial=1.0)),
+                bank.aux_param)
+            aux_spec = (bank.aux_param, values_aux)
+
     values = screen.truncate_values(
         screen.bank_values(regs_s), float(e_s.max(initial=1.0)), bank.p)
     tau_scr = np.float32(screen_tau(tau, params.screen_delta))
@@ -222,11 +293,11 @@ def select_pairs_ring(bank, params, mesh=None, ti=128):
     base = (np.arange(n_dev, dtype=np.int32) * strip)
 
     step = make_ring_screen_step(mesh, bank.p, values, ti, strip, n_bands,
-                                 use_cb, use_smh)
+                                 use_cb, use_smh, aux=aux_spec)
     hits, counts = step(
-        jnp.asarray(regs_p), jnp.asarray(e_p), jnp.asarray(fp),
-        jnp.asarray(base), jnp.int32(n), jnp.float32(tau_scr),
-        jnp.float32(tau_cb),
+        jnp.asarray(regs_p), jnp.asarray(aux_regs_p), jnp.asarray(e_p),
+        jnp.asarray(fp), jnp.asarray(base), jnp.int32(n),
+        jnp.float32(tau_scr), jnp.float32(tau_cb), jnp.float32(coef),
     )
 
     # Counts-first fetch. hits rows are laid out, per device d, as

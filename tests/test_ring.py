@@ -34,13 +34,6 @@ def test_ring_matches_host_and_replicated(crit, tau):
     assert _round(repl) == _round(ring)
 
 
-def test_ring_rejects_hll_aux():
-    rng = np.random.default_rng(3)
-    bank = _make_bank(8, 10, 16, rng)
-    with pytest.raises(ValueError, match="ring engine"):
-        select_pairs_ring(bank, SelectionParams(tau=0.5, criterion="hll_a"))
-
-
 def test_ring_pair_coverage_is_exhaustive():
     """Every i<j pair must be screened exactly once across devices/steps:
     with the screen thresholds fully open (tau'=-inf semantics via tiny
@@ -54,3 +47,18 @@ def test_ring_pair_coverage_is_exhaustive():
     want = select_pairs_host(bank, 1e-6, "baseline", apply_cb=False)
     assert _round(want) == _round(got)
     assert len(got) > 0
+
+
+@pytest.mark.parametrize("crit", ["hll_a", "hll_an"])
+def test_ring_hll_aux_matches_host(crit):
+    """hll_a/hll_an on the ring engine: the aux-HLL registers circulate
+    as a second strip; output must equal the host reference exactly."""
+    from tests.test_screen import _make_bank_hll_aux
+
+    rng = np.random.default_rng(31)
+    bank = _make_bank_hll_aux(24, 10, 6, rng)
+    params = SelectionParams(tau=0.2, criterion=crit)
+    host = select_pairs_host(bank, 0.2, crit)
+    ring = select_pairs_ring(bank, params, ti=32)
+    assert _round(host) == _round(ring)
+    assert len(ring) > 0
