@@ -22,6 +22,10 @@ def main(argv=None):
     ap.add_argument("-t", dest="threads", type=int, default=8)
     ap.add_argument("-a", dest="aux_bytes", type=int, default=256)
     ap.add_argument("-c", dest="criterion", default="")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "device", "native"],
+                    help="sketch builder: device pipeline, native C++ "
+                         "single-pass, or auto (native for small corpora)")
     ap.add_argument("--bank", dest="bank_out", default=None,
                     help="also save a stacked .npz sketch bank")
     args = ap.parse_args(argv)
@@ -40,7 +44,7 @@ def main(argv=None):
     files = load_file_list(args.list_file)
     bank = build_bank_from_files(
         files, criterion=args.criterion, aux_bytes=args.aux_bytes,
-        io_threads=args.threads,
+        io_threads=args.threads, backend=args.backend,
     )
     bank.write_sketch_files()
     if args.bank_out:

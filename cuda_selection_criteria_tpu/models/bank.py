@@ -69,8 +69,9 @@ class SketchBank:
         Cardinalities feed size_t truncation and the sort order, so they
         must be bit-exact IEEE f64. On the CPU backend the batched jitted
         MLE is exact; on accelerators (TPU f64 is double-float emulation)
-        the cards are computed on the host with the scalar reference MLE
-        instead.
+        the cards come from the vectorized HOST f64 MLE instead
+        (utils/hostref.ertl_mle_batch - bit-identical to the scalar
+        reference loop, thousands of rows per vector op).
         """
         import jax
 
@@ -81,9 +82,12 @@ class SketchBank:
         else:
             from ..utils import hostref
 
-            self.cards = np.array(
-                [hostref.report(r, self.p) for r in self.regs]
-            )
+            offs = (np.arange(self.n, dtype=np.int64)[:, None] * 64
+                    + self.regs.astype(np.int64))
+            hists = np.bincount(
+                offs.ravel(), minlength=self.n * 64
+            ).reshape(self.n, 64)
+            self.cards = hostref.ertl_mle_batch(hists, self.p)
         return self.cards
 
     # -- loading from reference-format sketch files -------------------------
@@ -241,6 +245,32 @@ class SketchBank:
         )
 
 
+def _build_bank_native(files, aux_kind, aux_param, k, io_threads):
+    """Threaded C++ single-pass builds, one file per task (ctypes releases
+    the GIL during the C call, so the pool parallelizes like the
+    reference's OpenMP loop). Output is bit-identical to the device path.
+    """
+    from ..native import fastx as native
+
+    p_aux = aux_param if aux_kind == "hll" else 0
+    m = aux_param if aux_kind == "smh" else 0
+
+    def one(f):
+        regs, regs_aux, smh, _ = native.build_sketches(
+            f, k=k, p=PRIMARY_P, p_aux=p_aux, m=m)
+        return regs, (regs_aux if aux_kind == "hll" else smh)
+
+    with ThreadPoolExecutor(max_workers=io_threads) as pool:
+        results = list(pool.map(one, files))
+    regs = np.stack([r for r, _ in results])
+    aux = (np.stack([a for _, a in results])
+           if aux_kind is not None else None)
+    return SketchBank(
+        names=list(files), regs=regs, aux_kind=aux_kind, aux=aux,
+        aux_param=aux_param,
+    )
+
+
 def _norm_npz(path):
     """np.savez appends .npz when missing; normalize so save(p)/load(p)
     agree for any p."""
@@ -356,22 +386,43 @@ def _sketch_pack_device(pack, k, p, aux_kind, aux_param):
     return regs, aux
 
 
+# Below this total input size, the threaded native C++ single-pass
+# builder beats the device pipeline when the accelerator sits behind a
+# per-dispatch latency (remote tunnel / shared pod frontends); the device
+# path owns everything larger. "auto" applies this split.
+NATIVE_BUILD_MAX_BYTES = 32 << 20
+
+
 def build_bank_from_files(files, criterion=None, aux_bytes=256, k=DEFAULT_K,
-                          io_threads=8):
+                          io_threads=8, backend="auto"):
     """Build a SketchBank from FASTA files (parity: build_sketch CLI).
 
-    Host FASTA decode runs in a thread pool, overlapped with device sketch
-    construction (the TPU answer to the reference's OpenMP dynamic loop,
-    src/build_sketch.cpp:232-238). Small genomes are packed PACK_GENOMES
-    per dispatch (sentinel-separated streams + per-position genome ids);
-    genomes above the pack budget stream through the chunked per-genome
-    path.
+    backend:
+      "device" - host FASTA decode in a thread pool overlapped with device
+        sketch construction (the TPU answer to the reference's OpenMP
+        dynamic loop, src/build_sketch.cpp:232-238). Small genomes are
+        packed PACK_GENOMES per dispatch (sentinel-separated streams +
+        per-position genome ids); genomes above the pack budget stream
+        through the chunked per-genome path.
+      "native" - the C++ single-pass builder (native/fastx.cpp), one
+        thread per file; bit-identical output (tests/test_native_build.py).
+      "auto" - native for small corpora (< NATIVE_BUILD_MAX_BYTES of
+        input) when the library is built, device otherwise.
     """
     aux_kind = aux_param = None
     if criterion in ("hll_a", "hll_an"):
         aux_kind, aux_param = "hll", _ctz(aux_bytes)
     elif criterion == "smh_a":
         aux_kind, aux_param = "smh", vecsize(aux_bytes // 8)
+
+    if backend == "auto":
+        from ..native import fastx as native
+
+        total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+        backend = ("native" if native.available()
+                   and total < NATIVE_BUILD_MAX_BYTES else "device")
+    if backend == "native":
+        return _build_bank_native(files, aux_kind, aux_param, k, io_threads)
     if aux_kind == "smh":
         pack_codes = min(PACK_CODES, (1 << 26) // max(1, aux_param))
     else:
