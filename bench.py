@@ -92,15 +92,15 @@ def build_synthetic_bank(n_genomes=N_GENOMES, items=ITEMS_PER_GENOME):
         h = rng.integers(0, 1 << 64, size=(gchunk, items), dtype=np.uint64)
         idx = (h >> np.uint64(64 - P)).astype(np.int64)
         v = ((h << np.uint64(1)) | np.uint64(1)) << np.uint64(P - 1)
-        hi32 = (v >> np.uint64(32)).astype(np.float64)
-        lo32 = np.maximum(v & np.uint64(0xFFFFFFFF), 1).astype(np.float64)
-        # floor(log2) is exact for integers < 2^32 in f64
-        lz = np.where(
-            hi32 > 0,
-            31 - np.floor(np.log2(np.maximum(hi32, 1.0))),
-            63 - np.floor(np.log2(lo32)),
-        ).astype(np.int64)
-        rank = (lz + 1).astype(np.uint8)
+        # integer bit-length via shift halving: 6 vector ops, no float
+        # rounding concerns (validated bit-exact vs the scalar clz rule)
+        bl = np.zeros(v.shape, np.uint8)
+        for sh in (32, 16, 8, 4, 2, 1):
+            big = v >> np.uint64(sh)
+            take = big != 0
+            bl[take] += np.uint8(sh)
+            v = np.where(take, big, v)
+        rank = np.uint8(64) - bl  # lz + 1 = 64 - (bl_high_index) since v>0
         flat = np.arange(gchunk)[:, None] * (1 << P) + idx
         sub = np.zeros(gchunk * (1 << P), np.uint8)
         np.maximum.at(sub, flat.ravel(), rank.ravel())
@@ -108,11 +108,16 @@ def build_synthetic_bank(n_genomes=N_GENOMES, items=ITEMS_PER_GENOME):
 
     aux = rng.integers(0, 1 << 63, size=(n_genomes, M_SMH), dtype=np.uint64)
 
-    offs = (np.arange(n_genomes, dtype=np.int64)[:, None] * 64
-            + regs.astype(np.int64))
-    hists = np.bincount(
-        offs.ravel(), minlength=n_genomes * 64
-    ).reshape(n_genomes, 64)
+    # Per-row histograms in bounded chunks (the whole-bank int64 offset
+    # array would be a multi-GB temporary).
+    hists = np.zeros((n_genomes, 64), np.int64)
+    hchunk = 2048
+    for g0 in range(0, n_genomes, hchunk):
+        sub = regs[g0:g0 + hchunk].astype(np.int32)
+        sub += (np.arange(sub.shape[0], dtype=np.int32) * 64)[:, None]
+        hists[g0:g0 + hchunk] = np.bincount(
+            sub.ravel(), minlength=sub.shape[0] * 64
+        ).reshape(sub.shape[0], 64)
     e = np.trunc(ertl_mle_batch(hists, P))
 
     # np.savez appends .npz when missing - keep the suffix so the atomic

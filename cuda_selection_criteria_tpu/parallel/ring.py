@@ -37,7 +37,6 @@ import jax.numpy as jnp
 
 from ..ops import criteria, screen
 from ..utils.hostref import PairOracle
-from . import scheduler
 from .screened import band_fingerprints, screen_tau
 
 
