@@ -319,7 +319,18 @@ def sketch_codes_device(codes, k, p, aux_kind=None, aux_param=None):
             a = hll_build.hll_build_batch(kms, valid, zeros, aux_param, 1)[0]
             aux = a if aux is None else jnp.maximum(aux, a)
         elif aux_kind == "smh":
-            a = smh_build.smh_build_batch(kms, valid, zeros, aux_param, 1)[0]
+            # j=0 fast path per piece (exact when every bucket is j0-hit;
+            # j0 candidates always beat j>0, so a complete piece's min IS
+            # the unbounded candidate min and pieces min-merge exactly -
+            # same argument as the packed path). The full Fisher-Yates
+            # fallback only runs for pieces that leave a bucket unhit.
+            a_j0, complete = smh_build.smh_build_batch_j0(
+                kms, valid, zeros, aux_param, 1)
+            if bool(complete):
+                a = a_j0[0]
+            else:
+                a = smh_build.smh_build_batch_full(
+                    kms, valid, zeros, aux_param, 1)[0]
             aux = a if aux is None else jnp.minimum(aux, a)
         if n == 0:
             break
@@ -352,7 +363,7 @@ def _pack_pipeline(codes, gids, k, p, aux_kind, aux_param):
     return regs, aux, complete
 
 
-def _sketch_pack_device(pack, k, p, aux_kind, aux_param):
+def _sketch_pack_device(pack, k, p, aux_kind, aux_param, pad_to=None):
     """One fused dispatch sketching up to PACK_GENOMES small genomes.
 
     Each genome's code stream begins with a reset sentinel (the FASTA
@@ -362,19 +373,14 @@ def _sketch_pack_device(pack, k, p, aux_kind, aux_param):
     per-file OpenMP loop, at ONE device round-trip per 64 genomes (scan +
     HLL + SuperMinHash-j0 fused in a single jit; the rare j0-incomplete
     pack falls back to the exact full SuperMinHash pass).
+
+    pad_to: pad every pack to this code budget so ALL packs share ONE
+    compiled shape - varying pack sizes otherwise trigger a 1-3 minute
+    Mosaic/XLA compile per size bucket, which dominated build wall-clock
+    at corpus scale (round-2 profiling: warm pack = 0.64 s, each compile
+    ~2 min).
     """
-    codes = np.concatenate([c for _, c in pack])
-    gids = np.repeat(
-        np.arange(len(pack), dtype=np.int32),
-        [len(c) for _, c in pack],
-    )
-    blen = _bucket_len(codes.size)
-    if codes.size < blen:
-        pad = blen - codes.size
-        codes = np.concatenate(
-            [codes, np.full(pad, fasta.SENTINEL, np.uint8)]
-        )
-        gids = np.concatenate([gids, np.zeros(pad, np.int32)])
+    codes, gids = _pack_arrays(pack, pad_to)
     regs, aux, complete = _pack_pipeline(
         jnp.asarray(codes), jnp.asarray(gids), k, p, aux_kind, aux_param
     )
@@ -384,6 +390,24 @@ def _sketch_pack_device(pack, k, p, aux_kind, aux_param):
             kms, valid, jnp.asarray(gids), aux_param, PACK_GENOMES
         )
     return regs, aux
+
+
+def _pack_arrays(pack, pad_to=None):
+    """Concatenate a pack's code streams + per-position genome ids, padded
+    to one static bucket length."""
+    codes = np.concatenate([c for _, c in pack])
+    gids = np.repeat(
+        np.arange(len(pack), dtype=np.int32),
+        [len(c) for _, c in pack],
+    )
+    blen = _bucket_len(pad_to if pad_to is not None else codes.size)
+    if codes.size < blen:
+        pad = blen - codes.size
+        codes = np.concatenate(
+            [codes, np.full(pad, fasta.SENTINEL, np.uint8)]
+        )
+        gids = np.concatenate([gids, np.zeros(pad, np.int32)])
+    return codes, gids
 
 
 # Below this total input size, the threaded native C++ single-pass
@@ -433,16 +457,50 @@ def build_bank_from_files(files, criterion=None, aux_bytes=256, k=DEFAULT_K,
     pack = []  # [(file_idx, codes)]
     pack_size = 0
 
+    import time as _time
+    from collections import deque
+
+    prof = {"decode": 0.0, "pack": 0.0, "chunked": 0.0, "fetch": 0.0,
+            "pack_times": [], "smh_fallbacks": 0}
+    inflight = deque()  # [(pack, codes, gids, regs_dev, aux_dev, complete)]
+
+    def retire(drain=False):
+        """Fetch finished pack results; keep one pack in flight so the
+        device computes pack k while the host assembles pack k+1 (the
+        per-pack blocking sync was the round-1 "composed pipeline 2x"
+        mystery)."""
+        while inflight and (drain or len(inflight) > 1):
+            pk, codes, gids, regs, aux, complete = inflight.popleft()
+            if aux_kind == "smh" and not bool(complete):
+                prof["smh_fallbacks"] += 1
+                kms, valid = kmer_ops.canonical_kmers(jnp.asarray(codes), k)
+                aux = smh_build.smh_build_batch_full(
+                    kms, valid, jnp.asarray(gids), aux_param, PACK_GENOMES
+                )
+            # ONE device fetch per pack (per-genome fetches would pay the
+            # host round-trip latency 64x per pack).
+            regs_np = np.asarray(regs)
+            aux_np = np.asarray(aux) if aux is not None else None
+            for slot, (i, _) in enumerate(pk):
+                regs_list[i] = regs_np[slot]
+                if aux_np is not None:
+                    aux_list[i] = aux_np[slot]
+
     def flush():
         nonlocal pack, pack_size
         if not pack:
             return
-        regs, aux = _sketch_pack_device(pack, k, PRIMARY_P, aux_kind,
-                                        aux_param)
-        for slot, (i, _) in enumerate(pack):
-            regs_list[i] = regs[slot]
-            if aux is not None:
-                aux_list[i] = aux[slot]
+        t0 = _time.perf_counter()
+        codes, gids = _pack_arrays(pack, pack_codes)
+        regs, aux, complete = _pack_pipeline(
+            jnp.asarray(codes), jnp.asarray(gids), k, PRIMARY_P, aux_kind,
+            aux_param
+        )
+        inflight.append((pack, codes, gids, regs, aux, complete))
+        retire()
+        dt = _time.perf_counter() - t0
+        prof["pack"] += dt
+        prof["pack_times"].append(round(dt, 2))
         pack = []
         pack_size = 0
 
@@ -450,24 +508,35 @@ def build_bank_from_files(files, criterion=None, aux_bytes=256, k=DEFAULT_K,
         codes_iter = pool.map(fasta.fasta_codes, files)
         for i, codes in enumerate(codes_iter):
             if codes.size > pack_codes:
+                t0 = _time.perf_counter()
                 regs, aux = sketch_codes_device(
                     codes, k, PRIMARY_P, aux_kind, aux_param
                 )
-                regs_list[i] = regs
-                aux_list[i] = aux
+                regs_list[i] = np.asarray(regs)
+                aux_list[i] = np.asarray(aux) if aux is not None else None
+                prof["chunked"] += _time.perf_counter() - t0
                 continue
             if pack_size + codes.size > pack_codes or len(pack) == PACK_GENOMES:
                 flush()
             pack.append((i, codes))
             pack_size += codes.size
         flush()
+        t0 = _time.perf_counter()
+        retire(drain=True)
+        prof["pack"] += _time.perf_counter() - t0
 
+    t0 = _time.perf_counter()
     regs = np.stack([np.asarray(r) for r in regs_list])
     aux = (
         np.stack([np.asarray(a) for a in aux_list])
         if aux_kind is not None
         else None
     )
+    prof["fetch"] = _time.perf_counter() - t0
+    if os.environ.get("CSC_BUILD_PROFILE"):
+        import sys as _sys
+
+        print(f"build profile: {prof}", file=_sys.stderr, flush=True)
     return SketchBank(
         names=list(files),
         regs=regs,

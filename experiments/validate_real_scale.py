@@ -147,6 +147,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    from cuda_selection_criteria_tpu import enable_compile_cache
+
+    enable_compile_cache()
     from cuda_selection_criteria_tpu.models.bank import (
         SketchBank, build_bank_from_files,
     )

@@ -77,3 +77,40 @@ def test_smh_from_fasta_matches_committed_sketches(m):
         sk = SuperMinHashSketch.from_codes(codes, m)
         ref_h = formats.read_smh(path + f".smh{m}")
         np.testing.assert_array_equal(sk.h, ref_h)
+
+
+def test_chunked_j0_min_merge_equals_full_single_pass():
+    """sketch_codes_device's piece-wise SuperMinHash (j0 fast path per
+    piece, elementwise min merge) must equal the single-pass full build:
+    j0 candidates always beat j>0, so a j0-complete piece's min IS its
+    unbounded candidate min, and mins compose across pieces."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cuda_selection_criteria_tpu.models import bank as B
+    from cuda_selection_criteria_tpu.ops import kmers as kmer_ops, smh_build
+
+    rng = np.random.default_rng(5)
+    codes = np.concatenate(
+        [[4], rng.integers(0, 4, size=200_000, dtype=np.uint8)]
+    ).astype(np.uint8)
+    # emulate the chunked path with a tiny 64k piece budget
+    pos, overlap, mc = 0, 30, 65536
+    aux = None
+    while pos == 0 or pos < codes.size:
+        lo = max(0, pos - overlap)
+        piece = codes[lo:pos + mc]
+        pos += mc
+        blen = B._bucket_len(piece.size)
+        if piece.size < blen:
+            piece = np.concatenate(
+                [piece, np.full(blen - piece.size, 4, np.uint8)])
+        kms, valid = kmer_ops.canonical_kmers(jnp.asarray(piece), 31)
+        zeros = jnp.zeros(kms.shape, jnp.int32)
+        a_j0, comp = smh_build.smh_build_batch_j0(kms, valid, zeros, 32, 1)
+        a = (a_j0[0] if bool(comp)
+             else smh_build.smh_build_batch_full(kms, valid, zeros, 32, 1)[0])
+        aux = a if aux is None else jnp.minimum(aux, a)
+    kms, valid = kmer_ops.canonical_kmers(jnp.asarray(codes), 31)
+    want = smh_build.smh_build_batch(
+        kms, valid, jnp.zeros(kms.shape, jnp.int32), 32, 1)[0]
+    np.testing.assert_array_equal(np.asarray(aux), np.asarray(want))
