@@ -32,7 +32,17 @@ def main(argv=None):
     ap.add_argument("-b", "--block", type=int, default=512, dest="block")
     ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--sharded", action="store_true",
-                    help="use the multi-device mesh engine")
+                    help="use the dense multi-device mesh engine "
+                         "(shorthand for --engine dense-sharded)")
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "screened", "dense", "sharded",
+                             "dense-sharded", "ring"],
+                    help="selection engine: auto (screened cascade on "
+                         "accelerators), screened (fused Pallas cascade), "
+                         "dense (blockwise exact-MLE), sharded (tile-"
+                         "sharded multi-device cascade), dense-sharded "
+                         "(rows x regs mesh with psum), ring (bank-"
+                         "sharded systolic sweep)")
     ap.add_argument("--checkpoint", default=None,
                     help="sweep progress file: long runs resume here after "
                          "a fault instead of recomputing completed chunks")
@@ -73,14 +83,33 @@ def main(argv=None):
     )
     from ..utils.resilience import run_with_transient_retry
 
-    if args.sharded:
+    engine = "dense-sharded" if args.sharded else args.engine
+    if engine == "dense-sharded":
         from ..parallel.mesh import select_pairs_sharded
 
-        results = run_with_transient_retry(
-            lambda: select_pairs_sharded(bank, params))
+        run = lambda: select_pairs_sharded(bank, params)  # noqa: E731
+    elif engine == "sharded":
+        from ..parallel.screened import select_pairs_screened_sharded
+
+        run = lambda: select_pairs_screened_sharded(bank, params)  # noqa: E731
+    elif engine == "ring":
+        from ..parallel.ring import select_pairs_ring
+
+        run = lambda: select_pairs_ring(bank, params)  # noqa: E731
+    elif engine == "screened":
+        from ..parallel.screened import select_pairs_screened
+
+        run = lambda: select_pairs_screened(  # noqa: E731
+            bank, params, checkpoint=args.checkpoint)
+    elif engine == "dense":
+        from dataclasses import replace as _replace
+
+        dense_params = _replace(params, engine="dense")
+        run = lambda: select_pairs(bank, dense_params)  # noqa: E731
     else:
-        results = run_with_transient_retry(
-            lambda: select_pairs(bank, params, checkpoint=args.checkpoint))
+        run = lambda: select_pairs(  # noqa: E731
+            bank, params, checkpoint=args.checkpoint)
+    results = run_with_transient_retry(run)
     for line in format_results(results):
         print(line)
     return 0
