@@ -87,3 +87,23 @@ def test_golden_screened_engine_p14():
     reproduce the golden pairs at the flagship p=14 configuration - the
     same engine/config the TPU runs."""
     assert _run("smh_a", aux_bytes=32, engine="screened") == _golden_lines()
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.parametrize("engine", ["ring", "sharded"])
+def test_cli_engine_flag_golden(engine, capsys, tmp_path):
+    """The selection CLI's --engine switch must route to the requested
+    engine and still print the verbatim golden output."""
+    from cuda_selection_criteria_tpu.cli import selection
+
+    lst = tmp_path / "filelist.txt"
+    lst.write_text("\n".join(
+        os.path.join(REFERENCE, line.strip())
+        for line in open(os.path.join(REFERENCE, "test_influeza_filelist.txt"))
+        if line.strip()
+    ) + "\n")
+    selection.main(["-l", str(lst), "-a", "32", "-h", "0.9", "-c", "smh_a",
+                    "--engine", engine])
+    got = capsys.readouterr().out.replace(REFERENCE + "/", "")
+    want = open(os.path.join(REFERENCE, "results.txt")).read()
+    assert got == want
