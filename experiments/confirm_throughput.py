@@ -76,7 +76,7 @@ def main(argv=None):
                       ti=512)
     oracle_dev = PairOracle(p, plan.regs_s, plan.e_s, criterion="baseline",
                             tau=-100.0, apply_cb=False,
-                            hist_fn=plan.device_hist_fn(chunk=8192))
+                            hist_fn=plan.device_hist_fn(chunk=1024))
     # plan sorts by cardinality; cards here are already sorted+truncated,
     # so sorted positions == original positions and outputs are comparable.
     dev_rate, dev_out = timed(
