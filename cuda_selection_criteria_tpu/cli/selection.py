@@ -71,8 +71,12 @@ def main(argv=None):
         "smh_a": "smh_a",
         "smh_only": "smh_a",
     }.get(args.criterion)
+    # -t: the reference wires it to omp_set_num_threads
+    # (src/selection.cpp:113-115); here the parallel work it governs is
+    # the threaded sketch-file loading (the selection math is device-side).
     bank = SketchBank.from_sketch_files(
-        files, criterion=load_crit, aux_bytes=args.aux_bytes
+        files, criterion=load_crit, aux_bytes=args.aux_bytes,
+        io_threads=max(1, args.threads),
     )
     params = SelectionParams(
         tau=args.threshold,

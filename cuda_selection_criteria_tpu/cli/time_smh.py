@@ -49,9 +49,9 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    from ..models.bank import SketchBank, build_bank_from_files
+    from ..models.bank import (SketchBank, build_bank_from_files,
+                               load_hll_bank, PRIMARY_P)
     from ..utils.filelist import load_file_list
-    from ..utils import formats
     from ..ops import criteria
     from ..parallel.selection import SelectionParams, select_pairs
 
@@ -64,7 +64,8 @@ def main(argv=None):
     smh_bank = build_bank_from_files(
         files, criterion="smh_a", aux_bytes=8 * m, io_threads=args.threads
     )
-    regs = np.stack([formats.read_hll(f + ".hll")[1] for f in files])
+    regs = load_hll_bank([f + ".hll" for f in files], PRIMARY_P,
+                         io_threads=max(1, args.threads))
     bank = SketchBank(
         names=list(files), regs=regs, aux_kind="smh", aux=smh_bank.aux,
         aux_param=m,

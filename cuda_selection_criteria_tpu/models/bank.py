@@ -32,6 +32,20 @@ def _bucket_len(n):
     return _CHUNK_BUCKETS[-1]
 
 
+def load_hll_bank(paths, p, io_threads=16):
+    """Stacked uint8 (N, 2^p) registers from .hll files: the native
+    threaded batch reader when available, the pure-Python reader
+    otherwise (identical bytes either way)."""
+    from ..native import fastx as native
+
+    if native.available():
+        try:
+            return native.read_hll_batch(paths, p, threads=io_threads)
+        except (IOError, ImportError):
+            pass
+    return np.stack([formats.read_hll(f)[1] for f in paths])
+
+
 @dataclass
 class SketchBank:
     """Stacked sketches for N genomes.
@@ -106,19 +120,13 @@ class SketchBank:
 
         use_native = native.available()
 
-        def load_hll_bank(paths, p):
-            if use_native:
-                try:
-                    return native.read_hll_batch(paths, p, threads=io_threads)
-                except (IOError, ImportError):
-                    pass
-            return np.stack([formats.read_hll(f)[1] for f in paths])
-
-        regs = load_hll_bank([f + ".hll" for f in files], PRIMARY_P)
+        regs = load_hll_bank([f + ".hll" for f in files], PRIMARY_P,
+                             io_threads=io_threads)
         aux_kind = aux = aux_param = None
         if criterion in ("hll_a", "hll_an"):
             p_aux = _ctz(aux_bytes)
-            aux = load_hll_bank([f + f".hll_{p_aux}" for f in files], p_aux)
+            aux = load_hll_bank([f + f".hll_{p_aux}" for f in files], p_aux,
+                                io_threads=io_threads)
             aux_kind, aux_param = "hll", p_aux
         elif criterion == "smh_a":
             m = aux_bytes // 8

@@ -37,15 +37,23 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     backend and make the real initialize() fail)."""
     if coordinator_address is None:
         return  # single-process run
-    from jax._src import distributed as _dist
+    try:  # private JAX internal - absence just means "can't pre-check"
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # runtime already initialized (TPU pod auto-bootstrap)
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # runtime already initialized (TPU pod auto-bootstrap)
+    except (ImportError, AttributeError):
+        pass
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as exc:
+        # Tolerate a racing/prior bootstrap; anything else is real.
+        if "already initialized" not in str(exc):
+            raise
 
 
 def tile_slice(n_tiles, process_index=None, process_count=None):

@@ -161,6 +161,12 @@ def select_pairs_sharded(bank, params, mesh=None):
     use_cb = crit not in ("baseline", "smh_only")
     use_smh = crit in ("smh_a", "smh_only")
     use_hllaux = crit in ("hll_a", "hll_an")
+    # The device aux gate for hll_a/hll_an is a conservative SUPERSET of
+    # the exact aux threshold (coef slack), so without host adjudication
+    # the emitted set would not be reference-exact for these criteria -
+    # force the exact pass (smh/cb gates are exact on device, so their
+    # non-adjudicated f64 path stays reference-exact).
+    adjudicate = bool(params.adjudicate or use_hllaux)
     if use_smh and bank.aux_kind != "smh":
         raise ValueError("smh criteria require an smh aux bank")
     if use_hllaux and bank.aux_kind != "hll":
@@ -184,7 +190,7 @@ def select_pairs_sharded(bank, params, mesh=None):
     e_s = pad(np.trunc(bank.cards[order]))
     idx = pad(np.arange(n), fill=-1)
 
-    tau_dev = tau - params.screen_margin if params.adjudicate else tau
+    tau_dev = tau - params.screen_margin if adjudicate else tau
     nrb = nbd = 1
     if use_smh:
         nrb, nbd = criteria.smh_band_params(bank.aux_param, params.tau)
@@ -207,7 +213,7 @@ def select_pairs_sharded(bank, params, mesh=None):
     ii, jj = np.nonzero(hits)
     triples = sorted(zip(ii.tolist(), jj.tolist()))
     names = bank.names
-    if params.adjudicate:
+    if adjudicate:
         from ..utils.hostref import PairOracle
 
         oracle = PairOracle(

@@ -169,10 +169,16 @@ def pair_union_histograms(regs, ii, kk):
     vectorized max-merge plus ONE bincount per call (B, 64) int64.
 
     In-place int32 offset add keeps the temporaries at 4 bytes/register -
-    the register scan is the memory-bound part of host confirmation."""
+    the register scan is the memory-bound part of host confirmation.
+    Past 2^31 total bins the offsets widen to int64 (callers batch long
+    before that, but correctness must not depend on it)."""
     nb = len(ii)
     merged = np.maximum(regs[ii], regs[kk]).astype(np.int32)
-    merged += (np.arange(nb, dtype=np.int32) * 64)[:, None]
+    if nb * 64 > np.iinfo(np.int32).max:
+        merged = merged.astype(np.int64)
+        merged += (np.arange(nb, dtype=np.int64) * 64)[:, None]
+    else:
+        merged += (np.arange(nb, dtype=np.int32) * 64)[:, None]
     return np.bincount(merged.ravel(), minlength=nb * 64).reshape(nb, 64)
 
 
@@ -300,34 +306,43 @@ class PairOracle:
                                            self.n_rows)
             sel = sel[(va == vb).all(axis=2).any(axis=1)]
         elif crit in ("hll_a", "hll_an") and sel.size:
-            hist_a = pair_union_histograms(self.aux, ii[sel], kk[sel])
-            with np.errstate(invalid="ignore"):
-                if crit == "hll_a":
-                    # int() of the positive estimate == floor (size_t cast)
-                    t_hat = np.floor(ertl_mle_batch(hist_a, self.aux_param))
-                    t_hat_mas = t_hat / (1.0 + self.zs)
-                    k_mas = (
-                        (1.0 + e1[sel] / e2[sel]) * e2[sel] - t_hat_mas
-                    ) / t_hat_mas
-                    sel = sel[k_mas >= self.tau]
-                else:
-                    t_hat = ertl_mle_batch(hist_a, self.aux_param)
-                    j_hat = (e1[sel] + e2[sel] - t_hat) / t_hat
-                    s = 0.0
-                    num = 1.0
-                    for _ in range(self.order_n):
-                        num *= self.zs
-                        s += num
-                    c_corr = (
-                        np.minimum(1.0, (1.0 + self.zs) * e2[sel] / t_hat)
-                        * (1.0 + e1[sel] / e2[sel]) * s
-                    )
-                    sel = sel[j_hat + c_corr >= self.tau]
+            # Batched like the primary-union stage below: at low tau the
+            # CB survivors can number in the millions, and one unbatched
+            # call would materialize sel.size x m_aux histograms at once.
+            keep = []
+            for c0 in range(0, sel.size, batch):
+                sub = sel[c0:c0 + batch]
+                hist_a = pair_union_histograms(self.aux, ii[sub], kk[sub])
+                with np.errstate(invalid="ignore"):
+                    if crit == "hll_a":
+                        # int() of the positive estimate == floor
+                        # (size_t cast)
+                        t_hat = np.floor(
+                            ertl_mle_batch(hist_a, self.aux_param))
+                        t_hat_mas = t_hat / (1.0 + self.zs)
+                        k_mas = (
+                            (1.0 + e1[sub] / e2[sub]) * e2[sub] - t_hat_mas
+                        ) / t_hat_mas
+                        keep.append(sub[k_mas >= self.tau])
+                    else:
+                        t_hat = ertl_mle_batch(hist_a, self.aux_param)
+                        j_hat = (e1[sub] + e2[sub] - t_hat) / t_hat
+                        s = 0.0
+                        num = 1.0
+                        for _ in range(self.order_n):
+                            num *= self.zs
+                            s += num
+                        c_corr = (
+                            np.minimum(
+                                1.0, (1.0 + self.zs) * e2[sub] / t_hat)
+                            * (1.0 + e1[sub] / e2[sub]) * s
+                        )
+                        keep.append(sub[j_hat + c_corr >= self.tau])
+            sel = np.concatenate(keep) if keep else sel[:0]
 
         out = []
-        for c0 in range(0, sel.size, batch):
-            sub = sel[c0:c0 + batch]
-            hists = self.hist_fn(ii[sub], kk[sub])
+
+        def adjudicate(sub, hists):
             t = ertl_mle_batch(hists, self.p)
             jacc = (e1[sub] + e2[sub] - t) / t
             good = np.nonzero(jacc >= self.tau)[0]
@@ -335,6 +350,27 @@ class PairOracle:
                 (int(ii[sub[g]]), int(kk[sub[g]]), float(jacc[g]))
                 for g in good
             )
+
+        subs = [sel[c0:c0 + batch] for c0 in range(0, sel.size, batch)]
+        dispatch = getattr(self.hist_fn, "dispatch", None)
+        if dispatch is None:
+            for sub in subs:
+                adjudicate(sub, self.hist_fn(ii[sub], kk[sub]))
+        else:
+            # Device-backed histograms: keep 2 batches in flight so the
+            # host MLE and the fetch latency overlap the device's scan of
+            # the next batch (matches the build path's dispatch pipeline).
+            from collections import deque
+
+            pend = deque()
+            for sub in subs:
+                pend.append((sub, dispatch(ii[sub], kk[sub])))
+                if len(pend) > 2:
+                    done_sub, handle = pend.popleft()
+                    adjudicate(done_sub, self.hist_fn.fetch(handle))
+            while pend:
+                done_sub, handle = pend.popleft()
+                adjudicate(done_sub, self.hist_fn.fetch(handle))
         return out
 
 
