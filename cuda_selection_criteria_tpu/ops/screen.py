@@ -42,14 +42,58 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret_default():
-    """Interpret-mode ALLOWLIST: only the CPU backend interprets.
+    """Portable-path ALLOWLIST: only the CPU backend avoids Mosaic.
 
     Any accelerator backend (tpu, or a plugin platform fronting one, e.g.
-    "axon") compiles the Pallas kernel; silently interpreting on an
-    accelerator would be a ~1e4x slowdown, so unknown accelerator
+    "axon") compiles the Pallas kernel; silently falling back on an
+    accelerator would be a huge slowdown, so unknown accelerator
     platforms fail loudly at Mosaic-compile time instead (VERDICT round 1,
-    weak #2)."""
+    weak #2). On CPU the portable XLA path below (same math, compiled
+    batched matmuls) replaces per-grid-cell Pallas interpretation."""
     return jax.default_backend() == "cpu"
+
+
+def _weighted_cdf_sum_jnp(regs, regs_cols, row_tiles, col_tiles, weights,
+                          ti, tj, emit_z0=False):
+    """Portable twin of the Pallas pass: plain XLA (lax.scan over tiles,
+    one f32 indicator matmul per present value).
+
+    Used on the CPU backend, where Pallas can only interpret (a Python
+    loop per grid cell - ~1e3x slower than letting XLA compile the same
+    matmuls). Indicator dot products are exact integers in f32 (values
+    <= 2^p <= 2^24), so S differs from the Pallas kernel only by f32
+    summation order across the <= |values| weighted adds (<= 1 ulp each),
+    well inside every screening margin; Z is bit-exact.
+    """
+    items = sorted(weights.items())
+    r_cols = regs_cols.shape[1]
+
+    def body(carry, rc):
+        r0, c0 = rc
+        zero = jnp.int32(0)
+        a = jax.lax.dynamic_slice(
+            regs, (r0 * ti, zero), (ti, regs.shape[1])).astype(jnp.int32)
+        b = jax.lax.dynamic_slice(
+            regs_cols, (c0 * tj, zero), (tj, r_cols)).astype(jnp.int32)
+        s = jnp.zeros((ti, tj), jnp.float32)
+        z = jnp.zeros((ti, tj), jnp.float32)
+        for v, w in items:
+            ia = (a <= v).astype(jnp.float32)
+            ib = (b <= v).astype(jnp.float32)
+            d = jax.lax.dot_general(
+                ia, ib, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + np.float32(w) * d
+            if v == 0 and emit_z0:
+                z = z + d
+        return carry, (s, z) if emit_z0 else s
+
+    _, out = jax.lax.scan(
+        body, 0,
+        (row_tiles.astype(jnp.int32), col_tiles.astype(jnp.int32)),
+    )
+    return out
 
 
 def _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p, weights,
@@ -210,8 +254,13 @@ def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
       (S, Z): float32 (T, ti, tj) harmonic sums and zero-register counts;
       Z is None when 0 is not a present value (no zero registers exist).
     """
+    # interpret=None: compile on accelerators, portable XLA path on CPU.
+    # interpret=True: force true Pallas interpretation (kernel-logic
+    # debugging/tests only - slow).
+    portable = False
     if interpret is None:
-        interpret = _interpret_default()
+        portable = _interpret_default()
+        interpret = portable
     if regs_cols is None:
         regs_cols = regs
     if r_sub is None:
@@ -233,6 +282,13 @@ def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
         z = (jnp.full((n_tiles, ti, tj), float(1 << p), jnp.float32)
              if want_z else None)
         return s, z
+
+    if portable:
+        out = _weighted_cdf_sum_jnp(regs, regs_cols, row_tiles, col_tiles,
+                                    s_weights, ti, tj, emit_z0=want_z)
+        if want_z:
+            return out[0] + tail, out[1]
+        return out + tail, None
 
     if not want_z:
         s = _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p,
