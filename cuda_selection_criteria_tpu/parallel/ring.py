@@ -8,25 +8,40 @@ must be sharded. This engine is the systolic answer:
   * each device owns a contiguous STRIP of the ascending-cardinality-
     sorted bank: registers (N/D, R), cardinalities, LSH fingerprints -
     P("rows") sharding, nothing replicated;
-  * a copy of the strip circulates around the ring: at step s, device d
-    screens (resident strip d) x (circulating strip (d - s) mod D) with
-    the same fused Pallas kernel (ops/screen.screen_s_z with a separate
-    column bank), then passes the circulating strip to device (d+1) via
-    jax.lax.ppermute - a neighbor-only ICI transfer that overlaps with
-    the next step's matmuls under XLA's scheduler;
+  * a copy of the strip circulates around the ring: at ring step s,
+    device d screens (resident strip d) x (circulating strip
+    (d - s) mod D) with the same fused screen kernel (ops/screen.py
+    with a separate column bank), then the circulating strip moves to
+    device (d+1) via jax.lax.ppermute - a neighbor-only ICI transfer;
   * after D steps every ordered strip pair has been screened exactly
     once on exactly one device; the global i<j triangle mask keeps each
     genome pair exactly once.
 
-Per-device HBM is O(2 * N/D * 2^p) instead of O(N * 2^p): a v5e-256 pod
-holds ~128M genomes at p=14. Comms per full sweep: each device sends its
-strip D times = N * 16 KiB total per device, fully pipelined on ICI.
+Memory model (per device): the two bank strips are O(2 * N/D * 2^p)
+HBM; the hit masks are STREAMED - each ring step's strip-pair tile grid
+is dispatched in chunks of `chunk_tiles` tiles, so the transient mask
+buffer is O(chunk_tiles * ti^2) bytes per dispatch, independent of N
+(asserted in tests/test_ring.py) and fetched counts-first per chunk.
+Earlier revisions buffered all D steps' masks in the loop carry -
+O(N^2/D) per device, which at pod scale dwarfed the strips themselves;
+nothing like that remains. Comms per full sweep: each device sends its
+strip D times = N * 16 KiB total, pipelined on ICI; the host loop syncs
+once per ring step (~D blocking fetches per sweep).
+
+Two scheduling prunes run on the host, both exact supersets:
+  * a ring STEP is skipped entirely when no device's (resident,
+    circulating) strip pair can contain an i<j pair passing the
+    cardinality bound (strip-level CB bound on the sorted order -
+    the reference's row break, src/selection.cpp:164-165, lifted to
+    strip granularity);
+  * the diagonal step (s=0) screens only the upper-triangle tiles of
+    each strip (a <= b), since i<j kills the rest.
 
 The screen math, margins, and the exact host confirmation are shared
 with the other engines (conservative superset screen -> PairOracle), so
 output stays bit-identical to the reference. Every criterion is
 supported: for hll_a/hll_an the aux-HLL registers circulate as a second
-(tiny) strip and the conservative aux-union gate runs per step.
+(tiny) strip and the conservative aux-union gate runs per chunk.
 """
 
 from functools import partial
@@ -40,94 +55,62 @@ from ..utils.hostref import PairOracle
 from .screened import band_fingerprints, screen_tau
 
 
-def make_ring_screen_step(mesh, p, values, ti, strip, n_bands, use_cb,
-                          use_smh, aux=None):
-    """Jitted D-step ring sweep over a ("rows",) mesh.
+def make_ring_fns(mesh, p, values, ti, strip, n_bands, use_cb, use_smh,
+                  aux=None):
+    """Build the two jitted ring primitives over a ("rows",) mesh.
 
-    Inputs (shard_map specs):
-      regs  (N, R)  P("rows")   - resident row strips
-      aux_regs (N, 2^p_aux) P("rows") - only for the hll-aux criteria
-      e     (N,)    P("rows")
-      fp    (N, B)  P("rows")
-      base  (D,)    P("rows")   - global start index of each strip
-      n_real, tau_scr, tau_cb, [coef_aux] - replicated scalars
+    screen_step(resident..., circ..., r_tiles, c_tiles, scalars...)
+      -> (hits (D*C, ti, ti) P("rows"), counts (D*C,) P("rows"))
+      where r_tiles/c_tiles are REPLICATED (C,) int32 LOCAL tile indices
+      (units of ti rows within a strip): every device screens the same
+      local tile list of its own (resident x circulating) strip pair.
 
-    aux: None, or (p_aux, values_aux) - adds a second circulating strip
-    (the aux-HLL registers, ~1% of the primary bytes) and the
-    conservative aux-union gate of hll_a/hll_an.
+    rotate(circ...) -> circ... moved one hop around the ring (ppermute).
 
-    Returns, both P("rows")-sharded over the leading axis:
-      hits   (D * T, ti, ti) bool  - T = (strip/ti)^2 tiles per step,
-              laid out [step s][row_tile a][col_tile b]
-      counts (D * T,) int32        - per-tile hit counts (counts-first)
+    aux: None, or (p_aux, values_aux) - adds the second circulating strip
+    (aux-HLL registers) and the conservative aux-union gate of
+    hll_a/hll_an.
     """
     from jax.sharding import PartitionSpec as P
 
-    nt = strip // ti
-    t_per_step = nt * nt
-    rt = jnp.asarray(np.repeat(np.arange(nt, dtype=np.int32), nt))
-    ct = jnp.asarray(np.tile(np.arange(nt, dtype=np.int32), nt))
     n_dev = mesh.shape["rows"]
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     p_aux, values_aux = aux if aux is not None else (None, None)
 
-    def step(regs_mine, aux_mine, e_mine, fp_mine, base_mine, n_real,
-             tau_scr, tau_cb, coef_aux):
-        base_mine = base_mine[0]
-
-        def body(s, carry):
-            (col_regs, col_aux, col_e, col_fp, col_base, hits,
-             counts) = carry
-            ss, zz = screen.screen_s_z(
-                regs_mine, rt, ct, p, values, ti=ti, tj=ti,
-                regs_cols=col_regs,
-            )
-            h = _ring_post(
-                ss, zz, e_mine, col_e, fp_mine, col_fp, base_mine,
-                col_base, n_real, tau_scr, tau_cb, p, n_bands, ti, nt,
-                use_cb, use_smh,
-            )
-            if aux is not None:
-                s_a, z_a = screen.screen_s_z(
-                    aux_mine, rt, ct, p_aux, values_aux, ti=ti, tj=ti,
-                    regs_cols=col_aux,
-                )
-                h &= _ring_aux_pass(s_a, z_a, e_mine, col_e, coef_aux,
-                                    p_aux, ti, nt)
-            hits = jax.lax.dynamic_update_slice(
-                hits, h, (s * t_per_step, 0, 0))
-            counts = jax.lax.dynamic_update_slice(
-                counts, jnp.sum(h, axis=(1, 2), dtype=jnp.int32),
-                (s * t_per_step,))
-            # Rotate the circulating strips one hop around the ring (ICI
-            # neighbor transfer; overlaps the next step's kernel).
-            col_regs = jax.lax.ppermute(col_regs, "rows", perm)
-            if aux is not None:
-                col_aux = jax.lax.ppermute(col_aux, "rows", perm)
-            col_e = jax.lax.ppermute(col_e, "rows", perm)
-            col_fp = jax.lax.ppermute(col_fp, "rows", perm)
-            col_base = jax.lax.ppermute(col_base, "rows", perm)
-            return (col_regs, col_aux, col_e, col_fp, col_base, hits,
-                    counts)
-
-        hits0 = jnp.zeros((n_dev * t_per_step, ti, ti), bool)
-        counts0 = jnp.zeros(n_dev * t_per_step, jnp.int32)
-        _, _, _, _, _, hits, counts = jax.lax.fori_loop(
-            0, n_dev, body,
-            (regs_mine, aux_mine, e_mine, fp_mine, base_mine[None],
-             hits0, counts0),
+    def step(regs_mine, aux_mine, e_mine, fp_mine, base_mine,
+             col_regs, col_aux, col_e, col_fp, col_base,
+             r_tiles, c_tiles, n_real, tau_scr, tau_cb, coef_aux):
+        ss, zz = screen.screen_s_z(
+            regs_mine, r_tiles, c_tiles, p, values, ti=ti, tj=ti,
+            regs_cols=col_regs,
         )
-        return hits, counts
+        h = _ring_post(
+            ss, zz, e_mine, col_e, fp_mine, col_fp, base_mine[0],
+            col_base[0], r_tiles, c_tiles, n_real, tau_scr, tau_cb, p,
+            n_bands, ti, use_cb, use_smh,
+        )
+        if aux is not None:
+            s_a, z_a = screen.screen_s_z(
+                aux_mine, r_tiles, c_tiles, p_aux, values_aux, ti=ti,
+                tj=ti, regs_cols=col_aux,
+            )
+            h &= _ring_aux_pass(s_a, z_a, e_mine, col_e, r_tiles, c_tiles,
+                                coef_aux, p_aux, ti)
+        return h, jnp.sum(h, axis=(1, 2), dtype=jnp.int32)
 
-    sharded = jax.shard_map(
+    res_specs = (
+        P("rows", None),  # regs strip
+        P("rows", None),  # aux strip (dummy when aux is None)
+        P("rows"),  # e
+        P("rows", None),  # fp
+        P("rows"),  # base (1 scalar per device)
+    )
+    screen_step = jax.jit(jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(
-            P("rows", None),  # regs strips
-            P("rows", None),  # aux strips (dummy when aux is None)
-            P("rows"),  # e
-            P("rows", None),  # fp
-            P("rows"),  # base
+        in_specs=res_specs + res_specs + (
+            P(),  # r_tiles (replicated local tile list)
+            P(),  # c_tiles
             P(),  # n_real
             P(),  # tau_scr
             P(),  # tau_cb
@@ -135,12 +118,25 @@ def make_ring_screen_step(mesh, p, values, ti, strip, n_bands, use_cb,
         ),
         out_specs=(P("rows"), P("rows")),
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+
+    def rot(col_regs, col_aux, col_e, col_fp, col_base):
+        out = [jax.lax.ppermute(x, "rows", perm)
+               for x in (col_regs, col_e, col_fp, col_base)]
+        if aux is not None:
+            col_aux = jax.lax.ppermute(col_aux, "rows", perm)
+        return out[0], col_aux, out[1], out[2], out[3]
+
+    rotate = jax.jit(jax.shard_map(
+        rot, mesh=mesh, in_specs=res_specs, out_specs=res_specs,
+        check_vma=False,
+    ))
+    return screen_step, rotate
 
 
-@partial(jax.jit, static_argnames=("p_aux", "ti", "nt"))
-def _ring_aux_pass(s_a, z_a, e_rows, e_cols, coef_aux, p_aux, ti, nt):
+@partial(jax.jit, static_argnames=("p_aux", "ti"))
+def _ring_aux_pass(s_a, z_a, e_rows, e_cols, r_tiles, c_tiles, coef_aux,
+                   p_aux, ti):
     """Strip-pair variant of the hll-aux union gate
     (screened._screen_chunk_hllaux): conservative threshold
     t_aux <= coef*(e1+e2) + slack, division-free / separable."""
@@ -149,10 +145,9 @@ def _ring_aux_pass(s_a, z_a, e_rows, e_cols, coef_aux, p_aux, ti, nt):
 
     m_a = 1 << p_aux
     alpha_a = np.float32(make_alpha(m_a))
-    rl = (jnp.repeat(jnp.arange(nt, dtype=jnp.int32), nt)[:, None] * ti
-          + jnp.arange(ti, dtype=jnp.int32)[None, :])
-    cl = (jnp.tile(jnp.arange(nt, dtype=jnp.int32), nt)[:, None] * ti
-          + jnp.arange(ti, dtype=jnp.int32)[None, :])
+    lane = jnp.arange(ti, dtype=jnp.int32)[None, :]
+    rl = r_tiles[:, None] * ti + lane
+    cl = c_tiles[:, None] * ti + lane
     e_a = e_rows[rl]
     e_b = e_cols[cl]
     e_sum = e_a[:, :, None] + e_b[:, None, :]
@@ -170,11 +165,11 @@ def _ring_aux_pass(s_a, z_a, e_rows, e_cols, coef_aux, p_aux, ti, nt):
     return aux_pass
 
 
-@partial(jax.jit, static_argnames=("p", "n_bands", "ti", "nt", "use_cb",
+@partial(jax.jit, static_argnames=("p", "n_bands", "ti", "use_cb",
                                    "use_smh"))
 def _ring_post(s, z, e_rows, e_cols, fp_rows, fp_cols, row_base, col_base,
-               n_real, tau_scr, tau_cb, p, n_bands, ti, nt, use_cb,
-               use_smh):
+               r_tiles, c_tiles, n_real, tau_scr, tau_cb, p, n_bands, ti,
+               use_cb, use_smh):
     """Strip-pair variant of screened._screen_post: identical gate and
     ORIGINAL-estimator screen math, but rows/cols come from two different
     strips with global offsets (row_base / col_base) for the triangle and
@@ -184,13 +179,10 @@ def _ring_post(s, z, e_rows, e_cols, fp_rows, fp_cols, row_base, col_base,
     m = 1 << p
     alpha = np.float32(ops.estimators.make_alpha(m))
     one_tau = np.float32(1.0) + tau_scr.astype(jnp.float32)
-    col_base = col_base[0]
 
-    # (T, ti) row/col LOCAL indices per tile, T = nt*nt row-major.
-    rl = (jnp.repeat(jnp.arange(nt, dtype=jnp.int32), nt)[:, None] * ti
-          + jnp.arange(ti, dtype=jnp.int32)[None, :])
-    cl = (jnp.tile(jnp.arange(nt, dtype=jnp.int32), nt)[:, None] * ti
-          + jnp.arange(ti, dtype=jnp.int32)[None, :])
+    lane = jnp.arange(ti, dtype=jnp.int32)[None, :]
+    rl = r_tiles[:, None] * ti + lane  # (C, ti) local row indices
+    cl = c_tiles[:, None] * ti + lane
     gi = row_base + rl  # global row index
     gj = col_base + cl
     e_a = e_rows[rl]
@@ -217,10 +209,35 @@ def _ring_post(s, z, e_rows, e_cols, fp_rows, fp_cols, row_base, col_base,
     return hits
 
 
-def select_pairs_ring(bank, params, mesh=None, ti=128):
+def _strip_profile(e_p, n, n_dev, strip):
+    """Per-strip (has_real, e_max, e_min_pos) from the sorted+padded
+    cardinalities - the inputs of the strip-level CB liveness bound."""
+    has_real = np.zeros(n_dev, bool)
+    e_max = np.zeros(n_dev)
+    e_min_pos = np.full(n_dev, np.inf)
+    for d in range(n_dev):
+        lo, hi = d * strip, min(n, (d + 1) * strip)
+        if lo >= hi:
+            continue
+        has_real[d] = True
+        seg = e_p[lo:hi]
+        e_max[d] = float(seg[-1])  # ascending within the real rows
+        pos = seg[seg > 0]
+        if pos.size:
+            e_min_pos[d] = float(pos[0])
+    return has_real, e_max, e_min_pos
+
+
+def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
+                      stats=None):
     """All-pairs selection with the bank SHARDED across devices (ring
     systolic sweep). Same exact-output contract as the other engines;
     every criterion supported.
+
+    chunk_tiles: tiles per device per dispatch - bounds the transient
+    per-device hit-mask memory at chunk_tiles * ti^2 bytes regardless of
+    bank size. stats: optional dict, filled with the sweep's memory /
+    skip accounting (used by tests to assert the memory bound).
     """
     from jax.sharding import Mesh
 
@@ -250,6 +267,7 @@ def select_pairs_ring(bank, params, mesh=None, ti=128):
     quantum = n_dev * ti
     n_pad = -(-n // quantum) * quantum
     strip = n_pad // n_dev
+    nt = strip // ti
     regs_p = np.zeros((n_pad, regs_s.shape[1]), np.uint8)
     regs_p[:n] = regs_s
     e_p = np.zeros(n_pad, np.float32)
@@ -287,37 +305,107 @@ def select_pairs_ring(bank, params, mesh=None, ti=128):
 
     values = screen.truncate_values(
         screen.bank_values(regs_s), float(e_s.max(initial=1.0)), bank.p)
-    tau_scr = np.float32(screen_tau(tau, params.screen_delta))
-    tau_cb = np.float32(tau * (1.0 - 1e-5))
-    base = (np.arange(n_dev, dtype=np.int32) * strip)
+    tau_scr = jnp.float32(screen_tau(tau, params.screen_delta))
+    tau_cb = jnp.float32(tau * (1.0 - 1e-5))
+    base = np.arange(n_dev, dtype=np.int32) * strip
 
-    step = make_ring_screen_step(mesh, bank.p, values, ti, strip, n_bands,
-                                 use_cb, use_smh, aux=aux_spec)
-    hits, counts = step(
-        jnp.asarray(regs_p), jnp.asarray(aux_regs_p), jnp.asarray(e_p),
-        jnp.asarray(fp), jnp.asarray(base), jnp.int32(n),
-        jnp.float32(tau_scr), jnp.float32(tau_cb), jnp.float32(coef),
-    )
+    screen_step, rotate = make_ring_fns(
+        mesh, bank.p, values, ti, strip, n_bands, use_cb, use_smh,
+        aux=aux_spec)
 
-    # Counts-first fetch. hits rows are laid out, per device d, as
-    # [step s][row_tile a][col_tile b]; the circulating strip at device d
-    # step s originates from device (d - s) mod D.
-    counts = np.asarray(counts)
-    nt = strip // ti
-    t_per_step = nt * nt
-    dT = n_dev * t_per_step  # rows of `hits` owned by one device
+    resident = (jnp.asarray(regs_p), jnp.asarray(aux_regs_p),
+                jnp.asarray(e_p), jnp.asarray(fp), jnp.asarray(base))
+    circ = resident  # step 0: each device vs its own strip
+    n_real = jnp.int32(n)
+    coef_j = jnp.float32(coef)
+
+    # Strip-level liveness: a ring step runs only if SOME device's
+    # (resident d, circulating src=(d-s)%D) pair can hold an i<j pair
+    # passing CB (one-sided bound in f64, relaxed like tau_cb).
+    has_real, seg_max, seg_minpos = _strip_profile(e_p, n, n_dev, strip)
+    tau_cb_host = float(tau) * (1.0 - 1e-5)
+
+    def pair_live(d, src):
+        if not (has_real[d] and has_real[src]):
+            return False
+        if src < d:
+            return False  # gi < gj impossible across these strips
+        if np.isinf(seg_minpos[src]):
+            return False  # no positive-cardinality columns
+        if use_cb and not (seg_max[d] / seg_minpos[src] >= tau_cb_host):
+            return False
+        return True
+
+    # Local tile lists (same for every device): upper triangle on the
+    # diagonal step, the full grid otherwise.
+    lane = np.arange(nt, dtype=np.int32)
+    full_r = np.repeat(lane, nt)
+    full_c = np.tile(lane, nt)
+    diag_keep = full_r <= full_c
+    tile_lists = {
+        True: (full_r[diag_keep], full_c[diag_keep]),
+        False: (full_r, full_c),
+    }
+
+    chunk_tiles = max(1, min(chunk_tiles, nt * nt))
+    if stats is not None:
+        stats.update(steps_total=n_dev, steps_run=0, dispatches=0,
+                     max_device_mask_bytes=0,
+                     strip=strip, chunk_tiles=chunk_tiles)
+
     cand = []
-    for t in np.nonzero(counts)[0]:
-        d = int(t) // dT
-        rem = int(t) % dT
-        s_step = rem // t_per_step
-        tile = rem % t_per_step
-        a, b = divmod(tile, nt)
-        src = (d - s_step) % n_dev
-        ri, cj = np.nonzero(np.asarray(hits[t]))
-        gi = d * strip + a * ti + ri
-        gj = src * strip + b * ti + cj
-        cand.extend(zip(gi.tolist(), gj.tolist()))
+    for s in range(n_dev):
+        live = [d for d in range(n_dev) if pair_live(d, (d - s) % n_dev)]
+        if live:
+            r_all, c_all = tile_lists[s == 0]
+            n_tiles = len(r_all)
+            # Chunked dispatch with power-of-two remainder buckets
+            # (repeat-padded, deduped at extraction) to bound the
+            # compiled-shape count.
+            spans = [(c0, chunk_tiles) for c0 in
+                     range(0, n_tiles - chunk_tiles + 1, chunk_tiles)]
+            rem = n_tiles - len(spans) * chunk_tiles
+            if rem:
+                bucket = min(chunk_tiles,
+                             max(1, 1 << (rem - 1).bit_length()))
+                spans.append((n_tiles - rem, bucket))
+            pending = []
+            for c0, width in spans:
+                take = min(width, n_tiles - c0)
+                r_chunk = np.pad(r_all[c0:c0 + take], (0, width - take),
+                                 constant_values=r_all[-1])
+                c_chunk = np.pad(c_all[c0:c0 + take], (0, width - take),
+                                 constant_values=c_all[-1])
+                hits, counts = screen_step(
+                    *resident, *circ, jnp.asarray(r_chunk),
+                    jnp.asarray(c_chunk), n_real, tau_scr, tau_cb, coef_j,
+                )
+                pending.append((r_chunk, c_chunk, hits, counts))
+                if stats is not None:
+                    stats["dispatches"] += 1
+                    stats["max_device_mask_bytes"] = max(
+                        stats["max_device_mask_bytes"],
+                        width * ti * ti * hits.dtype.itemsize)
+            # Counts-first fetch for the whole step's pipeline, then only
+            # the masks of tiles that actually hit cross the host link.
+            counts = np.asarray(
+                jnp.concatenate([cn for _, _, _, cn in pending]))
+            pos = 0
+            for r_chunk, c_chunk, hits, _ in pending:
+                width = len(r_chunk)
+                for t in np.nonzero(counts[pos:pos + width * n_dev])[0]:
+                    d = int(t) // width
+                    tl = int(t) % width
+                    src = (d - s) % n_dev
+                    ri, cj = np.nonzero(np.asarray(hits[t]))
+                    gi = d * strip + int(r_chunk[tl]) * ti + ri
+                    gj = src * strip + int(c_chunk[tl]) * ti + cj
+                    cand.extend(zip(gi.tolist(), gj.tolist()))
+                pos += width * n_dev
+            if stats is not None:
+                stats["steps_run"] += 1
+        if s < n_dev - 1:
+            circ = rotate(*circ)
     cand = sorted(set(cand))
 
     oracle = PairOracle(
