@@ -269,7 +269,7 @@ class _SweepCheckpoint:
         self._since_sync = 0
 
     @classmethod
-    def open(cls, path, plan, rows, cols):
+    def open(cls, path, plan, rows, cols, chunk):
         if path is None:
             return None
         import hashlib
@@ -283,6 +283,10 @@ class _SweepCheckpoint:
             "criterion": plan.crit,
             "tau": float(plan.params.tau),
             "ti": int(plan.ti),
+            # Spans are a function of the chunk size; binding it makes a
+            # mismatched resume error out instead of silently recomputing
+            # every span while still prepending the old candidates.
+            "chunk": int(chunk),
         }
         done_spans = set()
         done_cand = []
@@ -472,7 +476,8 @@ class ScreenPlan:
             self.use_cb, self.use_smh,
         )
 
-    def screen_tiles(self, rows, cols, chunk=64, checkpoint=None, wave=64):
+    def screen_tiles(self, rows, cols, chunk=64, checkpoint=None, wave=64,
+                     screen_fn=None, quantum=1):
         """Cascade stage 2 over a live-tile list: candidate (i, j) pairs.
 
         Dispatches every chunk before fetching any result (the device
@@ -487,24 +492,38 @@ class ScreenPlan:
         and a restarted run with the same bank/params/schedule skips
         completed spans (SURVEY section 5 failure recovery; the sketch
         files already checkpoint the build stage).
+
+        screen_fn: optional (r_chunk, c_chunk) -> (hits, counts) override.
+        The multi-device engine passes its shard_map step here, so the
+        sharded path gets the identical chunk/wave/checkpoint loop instead
+        of one monolithic dispatch; quantum (= device count there) forces
+        every dispatched width to stay shardable.
         """
         n_live = len(rows)
         if n_live == 0:
             return []
+        if screen_fn is None:
+            screen_fn = self.screen_chunk
         # Full chunks reuse one compiled shape; the remainder is padded to
         # a small power-of-two bucket (repeats of the last tile, deduped
         # below) instead of a whole extra chunk - chunk-padding repeats
         # are wasted MXU work, not just wasted dispatch.
-        chunk = min(chunk, n_live)
+        if quantum > 1:
+            chunk = max(quantum, (chunk // quantum) * quantum)
+        else:
+            chunk = min(chunk, n_live)
         ti = self.ti
         spans = [(c0, chunk) for c0 in range(0, n_live - chunk + 1, chunk)]
         rem = n_live - len(spans) * chunk
         if rem:
             bucket = min(chunk, max(8, 1 << (rem - 1).bit_length()))
+            if quantum > 1:
+                bucket = min(chunk, max(quantum,
+                                        -(-bucket // quantum) * quantum))
             spans.append((n_live - rem, bucket))
 
         cand = []
-        ckpt = _SweepCheckpoint.open(checkpoint, self, rows, cols)
+        ckpt = _SweepCheckpoint.open(checkpoint, self, rows, cols, chunk)
         if ckpt is not None:
             cand.extend(ckpt.done_candidates)
             spans = [sp for sp in spans if sp not in ckpt.done_spans]
@@ -519,7 +538,7 @@ class ScreenPlan:
                                  constant_values=rows[-1])
                 c_chunk = np.pad(cols[c0:c0 + take], (0, width - take),
                                  constant_values=cols[-1])
-                hits, cnt = self.screen_chunk(r_chunk, c_chunk)
+                hits, cnt = screen_fn(r_chunk, c_chunk)
                 pending.append(((c0, width), r_chunk, c_chunk, hits, cnt))
 
             counts = np.asarray(
@@ -541,11 +560,18 @@ class ScreenPlan:
             ckpt.close()
         return sorted(set(cand))
 
-    def device_hist_fn(self, chunk=256):
+    def device_hist_fn(self, chunk=8192):
         """Batched (ii, kk) -> exact union histograms, computed on the
         device bank (the 32 KiB/pair register scan rides HBM; only the
         (B, q+2) exact integer counts cross the host link). The f64 MLE on
         those counts stays on the host, so confirmed output is unchanged.
+
+        The returned callable also carries .dispatch/.fetch halves so the
+        oracle can pipeline device work against the host MLE: through a
+        high-latency link (~28 ms/blocking fetch on the axon tunnel) the
+        confirm rate is set by fetches-per-pair, so chunks are large and
+        fetches overlap the next batch's compute (VERDICT r2 #4 - the
+        same 2-deep pipeline that fixed the build path).
         """
         from ..ops.estimators import hll_histogram
 
@@ -556,7 +582,8 @@ class ScreenPlan:
             merged = jnp.maximum(bank_regs[ii], bank_regs[kk])
             return hll_histogram(merged.astype(jnp.int32), pp)
 
-        def fn(ii, kk):
+        def dispatch(ii, kk):
+            """Async: returns (pending device arrays, nb)."""
             nb = len(ii)
             n_pad = -(-max(nb, 1) // chunk) * chunk
             ip = np.pad(np.asarray(ii, np.int32), (0, n_pad - nb))
@@ -566,8 +593,17 @@ class ScreenPlan:
                      jnp.asarray(kp[c0:c0 + chunk]), p)
                 for c0 in range(0, n_pad, chunk)
             ]
+            return pending, nb
+
+        def fetch(handle):
+            pending, nb = handle
             return np.concatenate([np.asarray(h) for h in pending])[:nb]
 
+        def fn(ii, kk):
+            return fetch(dispatch(ii, kk))
+
+        fn.dispatch = dispatch
+        fn.fetch = fetch
         return fn
 
     def confirm(self, cand):
@@ -689,12 +725,22 @@ def make_sharded_screen_step(mesh, p, values, ti, n_bands, use_cb,
     return jax.jit(sharded)
 
 
-def select_pairs_screened_sharded(bank, params, mesh=None, ti=512):
+def select_pairs_screened_sharded(bank, params, mesh=None, ti=512, chunk=64,
+                                  checkpoint=None, wave=64):
     """Multi-device screened all-pairs selection (same exact-output contract
     as select_pairs_screened; tiles sharded across the mesh "rows" axis).
 
     Supports every criterion, including hll_a/hll_an via the replicated
-    aux-bank union gate (reference coverage: src/selection.cpp:122-227)."""
+    aux-bank union gate (reference coverage: src/selection.cpp:122-227).
+
+    The schedule is driven through the SAME chunk/wave/checkpoint loop as
+    the single-chip engine (ScreenPlan.screen_tiles with the shard_map
+    step as screen_fn): per-dispatch device memory is bounded by
+    chunk/n_dev tiles of hit masks regardless of schedule length, faults
+    lose at most one un-checkpointed wave, and a resumed run skips
+    completed spans - matching the reference cascade's incremental row
+    processing (src/selection.cpp:270-291) instead of one monolithic
+    launch."""
     from jax.sharding import Mesh
 
     if mesh is None:
@@ -710,12 +756,7 @@ def select_pairs_screened_sharded(bank, params, mesh=None, ti=512):
     if not len(rows):
         return []
 
-    # Pad the tile list to a device multiple with repeats (deduped below).
     n_dev = mesh.shape["rows"]
-    n_sched = -(-len(rows) // n_dev) * n_dev
-    rows = np.pad(rows, (0, n_sched - len(rows)), constant_values=rows[-1])
-    cols = np.pad(cols, (0, n_sched - len(cols)), constant_values=cols[-1])
-
     aux_spec = None
     if plan.coef_aux is not None:
         aux_spec = (bank.aux_param, plan.values_aux)
@@ -724,30 +765,23 @@ def select_pairs_screened_sharded(bank, params, mesh=None, ti=512):
         plan.use_smh, aux=aux_spec,
     )
     if aux_spec is not None:
-        hits, cnts = step(
-            plan.d_regs, plan.d_aux_regs, jnp.asarray(rows),
-            jnp.asarray(cols), plan.d_e, jnp.int32(plan.n),
-            jnp.float32(plan.tau_scr), jnp.float32(plan.tau_cb),
-            plan.coef_aux,
-        )
+        def screen_fn(r_chunk, c_chunk):
+            return step(
+                plan.d_regs, plan.d_aux_regs, jnp.asarray(r_chunk),
+                jnp.asarray(c_chunk), plan.d_e, jnp.int32(plan.n),
+                jnp.float32(plan.tau_scr), jnp.float32(plan.tau_cb),
+                plan.coef_aux,
+            )
     else:
-        hits, cnts = step(
-            plan.d_regs, jnp.asarray(rows), jnp.asarray(cols), plan.d_e,
-            plan.d_fp, jnp.int32(plan.n), jnp.float32(plan.tau_scr),
-            jnp.float32(plan.tau_cb),
-        )
+        def screen_fn(r_chunk, c_chunk):
+            return step(
+                plan.d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk),
+                plan.d_e, plan.d_fp, jnp.int32(plan.n),
+                jnp.float32(plan.tau_scr), jnp.float32(plan.tau_cb),
+            )
 
-    # Counts-first fetch: one tiny (T,) count vector, then only the hit
-    # masks of tiles that actually contain candidates cross the host link.
-    counts = np.asarray(cnts)
-    cand = []
-    for t in np.nonzero(counts)[0]:
-        ri, cj = np.nonzero(np.asarray(hits[t]))
-        cand.extend(zip(
-            (rows[t] * ti + ri).tolist(), (cols[t] * ti + cj).tolist()
-        ))
-    cand = sorted(set(cand))
-
+    cand = plan.screen_tiles(rows, cols, chunk=chunk, checkpoint=checkpoint,
+                             wave=wave, screen_fn=screen_fn, quantum=n_dev)
     names = bank.names
     order = plan.order
     return [

