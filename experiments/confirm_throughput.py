@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--pairs", type=int, default=200_000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=8192,
+                    help="device histogram chunk (pairs per dispatch)")
+    ap.add_argument("--batch", type=int, default=16384,
+                    help="oracle adjudication batch (pairs per fetch+MLE)")
     args = ap.parse_args(argv)
 
     from cuda_selection_criteria_tpu.models.bank import SketchBank
@@ -76,11 +80,11 @@ def main(argv=None):
                       ti=512)
     oracle_dev = PairOracle(p, plan.regs_s, plan.e_s, criterion="baseline",
                             tau=-100.0, apply_cb=False,
-                            hist_fn=plan.device_hist_fn(chunk=1024))
+                            hist_fn=plan.device_hist_fn(chunk=args.chunk))
     # plan sorts by cardinality; cards here are already sorted+truncated,
     # so sorted positions == original positions and outputs are comparable.
     dev_rate, dev_out = timed(
-        lambda: oracle_dev.confirm_pairs(pairs), "device")
+        lambda: oracle_dev.confirm_pairs(pairs, batch=args.batch), "device")
     assert [(i, k, j) for i, k, j in host_out] == \
         [(i, k, j) for i, k, j in dev_out], "device/host confirm mismatch"
 
