@@ -27,7 +27,10 @@ def main(argv=None):
     ap.add_argument("--tiles", type=int, default=256,
                     help="tiles per sweep (each ti x ti pairs)")
     ap.add_argument("--configs", default="512:auto:int8,1024:auto:int8,"
-                                         "512:2048:int8,256:auto:int8")
+                                         "512:2048:int8,256:auto:int8",
+                    help="comma list of ti:r_sub:precision[:deferred] - "
+                         "deferred = raw int32 CDF scratch accumulation "
+                         "with one weighted combine at the last r step")
     args = ap.parse_args(argv)
 
     import jax
@@ -45,7 +48,9 @@ def main(argv=None):
     rng = np.random.default_rng(3)
 
     for cfg in args.configs.split(","):
-        ti_s, rsub_s, prec = cfg.split(":")
+        parts = cfg.split(":")
+        ti_s, rsub_s, prec = parts[:3]
+        deferred = len(parts) > 3 and parts[3] == "deferred"
         ti = int(ti_s)
         r_sub = None if rsub_s == "auto" else int(rsub_s)
         nb = n // ti
@@ -54,7 +59,7 @@ def main(argv=None):
         def raw_chunk_fn(bank_regs, r_tiles, c_tiles):
             s, zz = screen.screen_s_z(bank_regs, r_tiles, c_tiles, 14,
                                       values, ti=ti, tj=ti, r_sub=r_sub,
-                                      precision=prec)
+                                      precision=prec, deferred=deferred)
             tot = jnp.sum(s, dtype=jnp.float32)
             if zz is not None:
                 tot += jnp.sum(zz, dtype=jnp.float32)
