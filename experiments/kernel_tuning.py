@@ -28,9 +28,12 @@ def main(argv=None):
                     help="tiles per sweep (each ti x ti pairs)")
     ap.add_argument("--configs", default="512:auto:int8,1024:auto:int8,"
                                          "512:2048:int8,256:auto:int8",
-                    help="comma list of ti:r_sub:precision[:deferred] - "
-                         "deferred = raw int32 CDF scratch accumulation "
-                         "with one weighted combine at the last r step")
+                    help="comma list of ti:r_sub:precision[:flag...] - "
+                         "flags: 'deferred' (raw int32 CDF scratch "
+                         "accumulation, weighted combine at the last r "
+                         "step), 'fpbK' (truncate_values fp_band_log2=K; "
+                         "default the library default), 'chunkK' (tiles "
+                         "per dispatch; default 64 512x512-equivalents)")
     args = ap.parse_args(argv)
 
     import jax
@@ -42,19 +45,26 @@ def main(argv=None):
     z = np.load(BANK)
     regs = z["regs"]
     n = regs.shape[0]
-    values = screen.truncate_values(
-        screen.bank_values(regs), float(z["e"].max()), 14)
+    all_values = screen.bank_values(regs)
+    max_card = float(z["e"].max())
     d_regs = jnp.asarray(regs)
     rng = np.random.default_rng(3)
 
     for cfg in args.configs.split(","):
         parts = cfg.split(":")
         ti_s, rsub_s, prec = parts[:3]
-        deferred = len(parts) > 3 and parts[3] == "deferred"
+        flags = parts[3:]
+        deferred = "deferred" in flags
+        fpb = next((int(f[3:]) for f in flags if f.startswith("fpb")), None)
+        values = (screen.truncate_values(all_values, max_card, 14)
+                  if fpb is None else
+                  screen.truncate_values(all_values, max_card, 14,
+                                         fp_band_log2=fpb))
         ti = int(ti_s)
         r_sub = None if rsub_s == "auto" else int(rsub_s)
         nb = n // ti
-        chunk = max(1, (512 // ti) * 64)
+        chunk = next((int(f[5:]) for f in flags if f.startswith("chunk")),
+                     max(1, (512 // ti) * 64))
 
         def raw_chunk_fn(bank_regs, r_tiles, c_tiles):
             s, zz = screen.screen_s_z(bank_regs, r_tiles, c_tiles, 14,
@@ -92,7 +102,8 @@ def main(argv=None):
             rate = pairs / best
             ops = 2 * (len(values) - 1) * (1 << 14)
             print(json.dumps({
-                "config": cfg, "pairs_per_sec": round(rate, 1),
+                "config": cfg, "n_values": len(values),
+                "pairs_per_sec": round(rate, 1),
                 "mxu_util_int8peak": round(rate * ops / 394e12, 3),
             }), flush=True)
         except Exception as exc:  # noqa: BLE001 - report and continue sweep
