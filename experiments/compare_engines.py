@@ -25,6 +25,13 @@ def main():
     ap.add_argument("-t", dest="tau", type=float, default=0.01)
     ap.add_argument("-c", dest="criterion", default="smh_a")
     ap.add_argument("-o", dest="out", default="comparacion_tpu_host.csv")
+    ap.add_argument("--estimator-delta", action="store_true",
+                    help="additionally report the ORIGINAL-vs-MLE "
+                         "similarity delta over the emitted pairs - the "
+                         "deviation the reference's own CPU (MLE) vs GPU "
+                         "(ORIGINAL, criteria_sketch_cuda.cuh:30-65) pair "
+                         "exhibits at EPS=1e-6 "
+                         "(run_comparison_experiment.sh:70,101-106)")
     args = ap.parse_args()
 
     from cuda_selection_criteria_tpu.models import SketchBank
@@ -67,6 +74,35 @@ def main():
             w.writerow(["|".join(k), f"{a:.6f}", f"{b:.6f}", f"{d:.2e}",
                         "OK" if ok else "FAIL"])
     print(f"pairs={len(all_keys)} mismatches={n_bad} -> {args.out}")
+
+    if args.estimator_delta and host:
+        # The delta the reference's comparison script actually measures:
+        # its CPU selection confirms with ERTL-MLE while its GPU kernels
+        # use the Flajolet ORIGINAL estimator for the same union - so the
+        # reference's own CPU<->GPU diff is estimator deviation, not a
+        # bug in either engine. This framework emits MLE everywhere, so
+        # the number below documents the deviation magnitude (reference
+        # bug #4 in SURVEY.md) from this codebase's own machinery.
+        import numpy as np
+        from cuda_selection_criteria_tpu.ops import estimators
+        import jax.numpy as jnp
+
+        name_pos = {n: i for i, n in enumerate(bank.names)}
+        e = np.trunc(bank.cards)
+        deltas = []
+        for a, b, j_mle in host:
+            i, k = name_pos[a], name_pos[b]
+            merged = jnp.asarray(
+                np.maximum(bank.regs[i], bank.regs[k]).astype(np.int32))
+            counts = estimators.hll_histogram(merged, bank.p)
+            t_orig = float(estimators.original_estimate(counts, bank.p))
+            j_orig = (e[i] + e[k] - t_orig) / t_orig
+            deltas.append(abs(j_orig - j_mle))
+        deltas = np.array(deltas)
+        print(f"estimator-delta (ORIGINAL vs MLE similarity, "
+              f"{len(deltas)} pairs): max={deltas.max():.3e} "
+              f"mean={deltas.mean():.3e} "
+              f"over_ref_eps={(deltas > eps).sum()}/{len(deltas)}")
     return 1 if n_bad else 0
 
 
