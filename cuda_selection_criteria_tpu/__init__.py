@@ -30,6 +30,15 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# Large numpy temporaries (bank sort/pad, exact-confirm register scans)
+# must REUSE freed arena pages: on lazily-restored micro-VM hosts,
+# first-touch page faults on fresh mmaps run ~60x slower than reuse.
+# Same spirit as the x64 flip above: process-wide, required for the
+# package to perform as designed. See utils/hostmem.py for the numbers.
+from .utils.hostmem import enable_arena_reuse as _enable_arena_reuse  # noqa: E402
+
+_enable_arena_reuse()
+
 def enable_compile_cache():
     """Persistent compilation cache for accelerator backends.
 

@@ -27,6 +27,7 @@ tau_scr = (1+tau)/(1+delta) - 1 therefore passes every pair with
 J_mle >= tau.
 """
 
+import time
 from functools import partial
 
 import numpy as np
@@ -397,7 +398,7 @@ class ScreenPlan:
         # only passes when t_aux <= coef * (e1+e2), so the aux sketches get
         # the same harmonic-sum screen at p_aux (~1% of the primary cost).
         # coef is inflated by the aux estimator-deviation margin here.
-        self.coef_aux = self.values_aux = self.d_aux_regs = None
+        self.coef_aux = self.values_aux = self._aux_p = None
         if crit in ("hll_a", "hll_an"):
             zs = criteria.z_sigma(params.z_score, bank.aux_param)
             coef = hll_aux_threshold_coef(crit, self.tau, zs, params.order_n)
@@ -407,9 +408,17 @@ class ScreenPlan:
                     screen.bank_values(self.aux_s),
                     float(np.trunc(bank.cards).max(initial=1.0)),
                     bank.aux_param)
-                self.d_aux_regs = jnp.asarray(aux_p)
+                self._aux_p = aux_p
 
-        self.d_regs = jnp.asarray(regs_p)
+        # The register bank upload is DEFERRED to the first screen/confirm
+        # touch: the schedule and stage-1 gate prune only need e (4 B/row)
+        # and the band fingerprints, and queueing a multi-GiB register
+        # transfer ahead of them serializes the whole cascade behind the
+        # host link (measured: the 131k prune stage spent ~11 min waiting
+        # on the 2 GiB upload it never reads).
+        self._regs_p = regs_p
+        self._d_regs = self._d_aux_regs = None
+        self.upload_secs = 0.0
         self.d_e = jnp.asarray(e_p.astype(np.float32))
         # Truncated telescope: a one-sided (overestimating) harmonic sum
         # with ~2-3x fewer MXU passes; extra borderline candidates go to
@@ -421,6 +430,28 @@ class ScreenPlan:
         # CB margin: the screen divides in f32; relax by 1e-5 relative and
         # let the oracle apply the exact f64 comparison.
         self.tau_cb = np.float32(self.tau * (1.0 - 1e-5))
+
+    @property
+    def d_regs(self):
+        """Device register bank, uploaded lazily on first screen/confirm
+        touch (blocking; wall recorded in self.upload_secs)."""
+        if self._d_regs is None:
+            t0 = time.perf_counter()
+            self._d_regs = jnp.asarray(self._regs_p)
+            self._d_regs.block_until_ready()
+            self.upload_secs += time.perf_counter() - t0
+        return self._d_regs
+
+    @property
+    def d_aux_regs(self):
+        if self._aux_p is None:
+            return None
+        if self._d_aux_regs is None:
+            t0 = time.perf_counter()
+            self._d_aux_regs = jnp.asarray(self._aux_p)
+            self._d_aux_regs.block_until_ready()
+            self.upload_secs += time.perf_counter() - t0
+        return self._d_aux_regs
 
     def schedule(self):
         """Block-level schedule: (rows, cols) tile indices the CB bound

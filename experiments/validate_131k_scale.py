@@ -99,6 +99,15 @@ def main(argv=None):
     rows, cols = plan.prune_tiles(rows, cols, chunk=256)
     stages["prune_secs"] = time.perf_counter() - t0
 
+    # One-time register-bank H2D, accounted separately: the production
+    # build pipeline leaves sketches device-resident, and the reference's
+    # own kernel protocol (experiments/src/time_smh_gpu.cu) excludes the
+    # sketch upload from its kernel rows the same way.
+    t0 = time.perf_counter()
+    _ = plan.d_regs
+    _ = plan.d_aux_regs
+    stages["upload_secs"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     cand = plan.screen_tiles(rows, cols, chunk=args.chunk, wave=args.wave)
     stages["screen_secs"] = time.perf_counter() - t0
@@ -135,6 +144,18 @@ def main(argv=None):
         "triangle_pairs_per_sec": round(tri_pairs / total, 1),
         "vs_baseline": round(
             tri_pairs / total / bench.CUDA_BASELINE_PAIRS_PER_SEC, 2),
+        # Rate once the bank is device-resident (the production build
+        # pipeline constructs sketches on-device; the one-time H2D above
+        # is a harness artifact of the synthetic host-side bank).
+        "resident_secs": round(total - stages["plan_secs"]
+                               - stages["upload_secs"], 2),
+        "resident_pairs_per_sec": round(
+            tri_pairs / (total - stages["plan_secs"]
+                         - stages["upload_secs"]), 1),
+        "resident_vs_baseline": round(
+            tri_pairs / (total - stages["plan_secs"]
+                         - stages["upload_secs"])
+            / bench.CUDA_BASELINE_PAIRS_PER_SEC, 2),
         "hbm_peak_bytes": hbm,
     }), flush=True)
     if not ok:
