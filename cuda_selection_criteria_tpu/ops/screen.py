@@ -242,7 +242,18 @@ def bank_values(regs):
     have a handful of present values (a zero bin plus a band around
     log2(n/m)), typically halving the matmul count vs a dense 0..vmax scan.
     """
-    return tuple(int(v) for v in np.unique(np.asarray(regs)))
+    a = np.asarray(regs)
+    if a.dtype == np.uint8:
+        # Single-pass presence scatter: np.unique sorts the full bank
+        # (minutes at 2 GiB of registers); a chunked boolean scatter is
+        # one linear read.
+        present = np.zeros(256, bool)
+        flat = a.reshape(-1)
+        step = 1 << 24
+        for c0 in range(0, flat.size, step):
+            present[flat[c0:c0 + step]] = True
+        return tuple(int(v) for v in np.nonzero(present)[0])
+    return tuple(int(v) for v in np.unique(a))
 
 
 def truncate_values(values, max_card, p, fp_band_log2=8):

@@ -362,8 +362,14 @@ class ScreenPlan:
         order = bank.sorted_by_cardinality()
         self.order = order
         self.e_s = np.trunc(bank.cards[order])
-        self.regs_s = bank.regs[order]
         self.aux_s = bank.aux[order] if bank.aux is not None else None
+        # The SORTED 2 GiB register copy is built lazily: the device path
+        # gathers rows on-chip from the raw upload (regs_s property is
+        # only touched by the pure-host confirm fallback and tests), so
+        # a multi-GiB bank never pays a host-side gather - first-touch
+        # page faults on lazily-backed VM hosts make that gather minutes
+        # of wall clock (utils/hostmem).
+        self._regs_s = None
 
         # Pad the sorted bank to a tile multiple; padded rows have e == 0
         # and are masked out by the n_real / e_b > 0 gates.
@@ -371,8 +377,6 @@ class ScreenPlan:
         n_pad = -(-n // ti) * ti
         self.n_pad = n_pad
         if n_pad != n:
-            regs_p = np.zeros((n_pad, self.regs_s.shape[1]), np.uint8)
-            regs_p[:n] = self.regs_s
             e_p = np.zeros(n_pad, self.e_s.dtype)
             e_p[:n] = self.e_s
             if self.aux_s is not None:
@@ -382,7 +386,7 @@ class ScreenPlan:
             else:
                 aux_p = None
         else:
-            regs_p, e_p, aux_p = self.regs_s, self.e_s, self.aux_s
+            e_p, aux_p = self.e_s, self.aux_s
         self.e_p = e_p
 
         if self.use_smh:
@@ -416,28 +420,59 @@ class ScreenPlan:
         # transfer ahead of them serializes the whole cascade behind the
         # host link (measured: the 131k prune stage spent ~11 min waiting
         # on the 2 GiB upload it never reads).
-        self._regs_p = regs_p
         self._d_regs = self._d_aux_regs = None
         self.upload_secs = 0.0
         self.d_e = jnp.asarray(e_p.astype(np.float32))
         # Truncated telescope: a one-sided (overestimating) harmonic sum
         # with ~2-3x fewer MXU passes; extra borderline candidates go to
         # the exact confirmation (ops/screen.truncate_values).
+        # Present values are permutation-invariant: scan the UNSORTED
+        # bank so the lazy sorted copy stays untouched.
         max_card = float(self.e_s.max(initial=1.0))
         self.values = screen.truncate_values(
-            screen.bank_values(self.regs_s), max_card, bank.p)
+            screen.bank_values(bank.regs), max_card, bank.p)
         self.tau_scr = np.float32(screen_tau(self.tau, params.screen_delta))
         # CB margin: the screen divides in f32; relax by 1e-5 relative and
         # let the oracle apply the exact f64 comparison.
         self.tau_cb = np.float32(self.tau * (1.0 - 1e-5))
 
     @property
+    def regs_s(self):
+        """Sorted host register copy, gathered on first touch (only the
+        pure-host confirm fallback and tests need it)."""
+        if self._regs_s is None:
+            self._regs_s = self.bank.regs[self.order]
+        return self._regs_s
+
+    @property
     def d_regs(self):
-        """Device register bank, uploaded lazily on first screen/confirm
-        touch (blocking; wall recorded in self.upload_secs)."""
+        """Device register bank: sorted + padded, assembled lazily on
+        first screen/confirm touch (blocking; wall in self.upload_secs).
+
+        The raw bank is uploaded as-is (its pages are already faulted in
+        from the build/load) and the cardinality sort is a device-side
+        gather - rows ride HBM instead of a host-side 2 GiB fancy-index.
+        Transiently holds raw + gathered (2x bank bytes) on device."""
         if self._d_regs is None:
             t0 = time.perf_counter()
-            self._d_regs = jnp.asarray(self._regs_p)
+            if self._regs_s is not None:
+                # host sorted copy already exists (host confirm touched
+                # it first): pad host-side, one upload
+                rp = self._regs_s
+                if self.n_pad != self.n:
+                    rp2 = np.zeros((self.n_pad, rp.shape[1]), rp.dtype)
+                    rp2[: self.n] = rp
+                    rp = rp2
+                self._d_regs = jnp.asarray(rp)
+            else:
+                raw = jnp.asarray(self.bank.regs)
+                g = jnp.take(raw, jnp.asarray(self.order, jnp.int32),
+                             axis=0)
+                if self.n_pad != self.n:
+                    g = jnp.zeros((self.n_pad, g.shape[1]), g.dtype
+                                  ).at[: self.n].set(g)
+                self._d_regs = g
+                del raw
             self._d_regs.block_until_ready()
             self.upload_secs += time.perf_counter() - t0
         return self._d_regs
