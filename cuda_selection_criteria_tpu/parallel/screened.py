@@ -646,7 +646,11 @@ class ScreenPlan:
         @partial(jax.jit, static_argnames=("pp",))
         def hist(bank_regs, ii, kk, pp):
             merged = jnp.maximum(bank_regs[ii], bank_regs[kk])
-            return hll_histogram(merged.astype(jnp.int32), pp)
+            # Narrow counts halve the fetch payload (the confirm rate
+            # through the tunnel is bytes-fetched-bound); counts <= 2^p
+            # fit int16 exactly for p <= 14.
+            out_t = jnp.int16 if pp <= 14 else jnp.int32
+            return hll_histogram(merged.astype(jnp.int32), pp).astype(out_t)
 
         def dispatch(ii, kk):
             """Async: returns (pending device arrays, nb)."""
