@@ -683,7 +683,7 @@ class ScreenPlan:
         if jax.default_backend() != "cpu":
             hist_fn = self.device_hist_fn()
         oracle = PairOracle(
-            self.bank.p, self.regs_s, self.e_s, aux=self.aux_s,
+            self.bank.p, (lambda: self.regs_s), self.e_s, aux=self.aux_s,
             aux_param=self.bank.aux_param, criterion=self.crit,
             tau=self.params.tau, z_score=self.params.z_score,
             order_n=self.params.order_n, apply_cb=self.use_cb,

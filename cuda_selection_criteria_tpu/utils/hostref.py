@@ -246,7 +246,11 @@ class PairOracle:
                  tau=0.9, z_score=1.96, order_n=1, apply_cb=True,
                  hist_fn=None):
         self.p = p
-        self.regs = regs
+        # regs may be a zero-arg callable resolved on first primary-union
+        # touch: with a device-backed hist_fn the host register copy is
+        # never read, and materializing a sorted multi-GiB bank just to
+        # pass it here costs minutes of page faults (utils/hostmem).
+        self._regs = regs
         self.e = e
         self.aux = aux
         self.aux_param = aux_param
@@ -268,6 +272,12 @@ class PairOracle:
             self.n_rows, self.n_bands = smh_band_params(aux_param, float(tau))
         elif criterion in ("hll_a", "hll_an"):
             self.zs = np.float64(np.float32(z_score) * np.float32(sigma(aux_param)))
+
+    @property
+    def regs(self):
+        if callable(self._regs):
+            self._regs = self._regs()
+        return self._regs
 
     def gates_pass(self, i, k):
         """Exact pruning cascade up to (excluding) the primary union."""

@@ -37,8 +37,10 @@ def planted_bank(n, rng, n_dups=128):
     """bench's synthetic bank + n_dups planted near-duplicate pairs
     (duplicate rows with a few registers bumped and IDENTICAL smh buckets
     so the banding gate passes them like true near-duplicates)."""
+    # build_synthetic_bank returns fresh arrays (np.load or local build)
+    # - mutate in place; a 2 GiB defensive copy costs minutes of
+    # first-touch page faults on this host (utils/hostmem).
     regs, aux, e = bench.build_synthetic_bank(n)
-    regs, aux, e = regs.copy(), aux.copy(), e.copy()
     picks = rng.choice(n - 1, size=n_dups, replace=False)
     for i in picks:
         regs[i + 1] = regs[i]
