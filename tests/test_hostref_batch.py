@@ -157,3 +157,34 @@ def test_device_hist_fn_matches_numpy():
     np.testing.assert_array_equal(
         hostref.ertl_mle_batch(got, p), hostref.ertl_mle_batch(want, p)
     )
+
+
+def test_d_regs_device_gather_matches_host_sort():
+    """ScreenPlan.d_regs assembled by the device-side gather (raw upload
+    + on-chip cardinality sort + pad) must equal the host-sorted padded
+    bank byte-for-byte, including the n -> n_pad zero rows."""
+    from cuda_selection_criteria_tpu.models.bank import SketchBank
+    from cuda_selection_criteria_tpu.parallel.screened import ScreenPlan
+    from cuda_selection_criteria_tpu.parallel.selection import SelectionParams
+
+    rng = np.random.default_rng(11)
+    n, p = 37, 8  # deliberately not a tile multiple
+    regs = rng.integers(0, 25, size=(n, 1 << p), dtype=np.uint8)
+    cards = rng.uniform(500, 5000, n)  # unsorted: the gather must sort
+    bank = SketchBank(names=[f"g{i}" for i in range(n)], regs=regs, p=p,
+                      cards=cards)
+    params = SelectionParams(tau=0.3, criterion="cb")
+
+    plan = ScreenPlan(bank, params, ti=16)
+    assert plan._regs_s is None  # device path must not need the host sort
+    got = np.asarray(plan.d_regs)
+
+    want = np.zeros((plan.n_pad, 1 << p), np.uint8)
+    want[:n] = regs[bank.sorted_by_cardinality()]
+    np.testing.assert_array_equal(got, want)
+
+    # host-sort-first branch: touching regs_s before d_regs must give
+    # the identical device bank
+    plan2 = ScreenPlan(bank, params, ti=16)
+    _ = plan2.regs_s
+    np.testing.assert_array_equal(np.asarray(plan2.d_regs), want)
