@@ -95,7 +95,10 @@ def main(argv=None):
     elif engine == "sharded":
         from ..parallel.screened import select_pairs_screened_sharded
 
-        run = lambda: select_pairs_screened_sharded(bank, params)  # noqa: E731
+        # -b is the screen tile size here (the reference's -b is its CUDA
+        # kernel block size - same knob, same default)
+        run = lambda: select_pairs_screened_sharded(  # noqa: E731
+            bank, params, ti=args.block)
     elif engine == "ring":
         from ..parallel.ring import select_pairs_ring
 
@@ -104,7 +107,7 @@ def main(argv=None):
         from ..parallel.screened import select_pairs_screened
 
         run = lambda: select_pairs_screened(  # noqa: E731
-            bank, params, checkpoint=args.checkpoint)
+            bank, params, ti=args.block, checkpoint=args.checkpoint)
     elif engine == "dense":
         from dataclasses import replace as _replace
 

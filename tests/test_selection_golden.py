@@ -102,8 +102,11 @@ def test_cli_engine_flag_golden(engine, capsys, tmp_path):
         for line in open(os.path.join(REFERENCE, "test_influeza_filelist.txt"))
         if line.strip()
     ) + "\n")
+    # -b 128 keeps the 8-virtual-device quantum padding cheap on the CPU
+    # mesh (the sharded engine pads the 1-live-tile schedule to a full
+    # device quantum; 512^2-tile repeats made this test ~4 min)
     selection.main(["-l", str(lst), "-a", "32", "-h", "0.9", "-c", "smh_a",
-                    "--engine", engine])
+                    "-b", "128", "--engine", engine])
     got = capsys.readouterr().out.replace(REFERENCE + "/", "")
     want = open(os.path.join(REFERENCE, "results.txt")).read()
     assert got == want
