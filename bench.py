@@ -294,7 +294,43 @@ def _run():
     )
 
 
+def _backend_answers(timeout=90.0):
+    """True when a subprocess can init the backend and run one op.
+
+    Backend init through the axon tunnel HANGS (not errors) when the
+    relay is unhealthy - observed 2026-08-17, a multi-hour outage - and
+    a hang in-process would silently eat the driver's whole capture
+    window. A subprocess probe turns the hang into a bounded timeout."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "x = jnp.ones((8, 8)); float((x @ x).sum())"],
+            timeout=timeout, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    # Probe-first (serialized: the probe exits before our own backend
+    # init). Two tries ~4.5 min apart, then emit one honest JSON line
+    # so the driver's capture records the outage instead of timing out.
+    if not _backend_answers() and (time.sleep(180.0) or
+                                   not _backend_answers()):
+        print(json.dumps({
+            "metric": "pair_comparisons_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": "tpu backend unreachable (tunnel init hung >90s "
+                     "twice); no measurement taken",
+        }))
+        raise SystemExit(3)
     _configure_jax()
     attempt = int(os.environ.get(RETRY_ENV, "1"))
     try:
