@@ -133,8 +133,13 @@ def _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p, weights,
             if emit_z0:
                 maybe_z[0][:] = jnp.zeros_like(maybe_z[0])
 
-        a = a_ref[:].astype(jnp.int32)  # (ti, r_sub)
-        b = b_ref[:].astype(jnp.int32)
+        # int8c16 probe: registers and telescope cutoffs are < 2^8, so
+        # int16 compares are exact and halve the widen/compare vector
+        # passes vs int32 (v5e Mosaic rejects 8-bit compares; whether it
+        # accepts 16-bit is probed via experiments/kernel_tuning.py).
+        cmp_dt = jnp.int16 if precision == "int8c16" else jnp.int32
+        a = a_ref[:].astype(cmp_dt)  # (ti, r_sub)
+        b = b_ref[:].astype(cmp_dt)
         for v, w in items:
             if precision == "int4":
                 # probe path: 0/1 indicators fit int4; v5e gains only if
@@ -143,7 +148,7 @@ def _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p, weights,
                 ia = (a <= v).astype(jnp.int4)
                 ib = (b <= v).astype(jnp.int4)
                 acc_dt = jnp.int32
-            elif precision == "int8":
+            elif precision in ("int8", "int8c16"):
                 ia = (a <= v).astype(jnp.int8)
                 ib = (b <= v).astype(jnp.int8)
                 acc_dt = jnp.int32
@@ -168,10 +173,11 @@ def _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p, weights,
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        a = a_ref[:].astype(jnp.int32)
-        b = b_ref[:].astype(jnp.int32)
+        cmp_dt = jnp.int16 if precision == "int8c16" else jnp.int32
+        a = a_ref[:].astype(cmp_dt)
+        b = b_ref[:].astype(cmp_dt)
         for k, (v, _) in enumerate(items):
-            if precision == "int8":
+            if precision in ("int8", "int8c16"):
                 ia = (a <= v).astype(jnp.int8)
                 ib = (b <= v).astype(jnp.int8)
                 acc_dt = jnp.int32

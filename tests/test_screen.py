@@ -100,6 +100,35 @@ def test_deferred_epilogue_matches_fused():
             np.testing.assert_array_equal(np.asarray(z_f), np.asarray(z_d))
 
 
+def test_int16_compare_variant_matches_base():
+    """precision="int8c16" (int16 register compares instead of int32 - the
+    widen/compare VPU-cost probe for the v5e) must be indistinguishable
+    from the base kernel: same weights, same summation order, so S and Z
+    are both bit-exact. Runs through true Pallas interpretation."""
+    p, r = 8, 256
+    rng = np.random.default_rng(17)
+    rows = jnp.asarray(np.array([0, 0, 1], np.int32))
+    cols = jnp.asarray(np.array([0, 1, 1], np.int32))
+    regs_zero = rng.integers(0, 13, size=(512, r), dtype=np.uint8)
+    regs_nozero = (regs_zero % 5 + 9).astype(np.uint8)
+    for regs in (regs_zero, regs_nozero):
+        vals = screen.bank_values(regs)
+        for deferred in (False, True):
+            s_b, z_b = screen.screen_s_z(jnp.asarray(regs), rows, cols, p,
+                                         vals, ti=256, tj=256,
+                                         interpret=True, deferred=deferred)
+            s_c, z_c = screen.screen_s_z(jnp.asarray(regs), rows, cols, p,
+                                         vals, ti=256, tj=256,
+                                         interpret=True, deferred=deferred,
+                                         precision="int8c16")
+            np.testing.assert_array_equal(np.asarray(s_b), np.asarray(s_c))
+            if z_b is None:
+                assert z_c is None
+            else:
+                np.testing.assert_array_equal(np.asarray(z_b),
+                                              np.asarray(z_c))
+
+
 def test_original_from_s_z_matches_original_estimate():
     p = 10
     rng = np.random.default_rng(3)
