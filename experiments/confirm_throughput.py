@@ -34,7 +34,18 @@ def main(argv=None):
                     help="device histogram chunk (pairs per dispatch)")
     ap.add_argument("--batch", type=int, default=16384,
                     help="oracle adjudication batch (pairs per fetch+MLE)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU XLA backend (no tunnel)")
+    ap.add_argument("--host-only", action="store_true",
+                    help="skip the device-assisted mode (the XLA-CPU "
+                    "one-hot histogram is orders slower than the native "
+                    "host path; only measure it on a real accelerator)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from cuda_selection_criteria_tpu.models.bank import SketchBank
     from cuda_selection_criteria_tpu.parallel.screened import ScreenPlan
@@ -75,6 +86,19 @@ def main(argv=None):
     host_rate, _ = timed(
         lambda: oracle_host.confirm_pairs(host_pairs), "host")
     host_out = oracle_host.confirm_pairs(pairs)
+
+    if args.host_only:
+        import jax
+
+        from cuda_selection_criteria_tpu.native import fastx
+
+        print(json.dumps({
+            "n_pairs": len(host_pairs),
+            "backend": jax.default_backend(),
+            "native_hist": fastx.available(),
+            "host_confirm_pairs_per_sec": round(host_rate, 1),
+        }))
+        return
 
     plan = ScreenPlan(bank, SelectionParams(tau=0.9, criterion="baseline"),
                       ti=512)

@@ -188,3 +188,35 @@ def test_d_regs_device_gather_matches_host_sort():
     plan2 = ScreenPlan(bank, params, ti=16)
     _ = plan2.regs_s
     np.testing.assert_array_equal(np.asarray(plan2.d_regs), want)
+
+
+def test_native_pair_union_hist_matches_numpy():
+    """The native fused gather+max+histogram (native/fastx
+    fastx_pair_union_hist - the host confirm stage's hot loop) must equal
+    the numpy widen+bincount path bin-for-bin, including odd register
+    widths (vector tail) and repeated/self pairs; out-of-range register
+    values and row indices must raise instead of corrupting counts."""
+    from cuda_selection_criteria_tpu.native import fastx as native
+
+    if not native.available():
+        pytest.skip("libfastx.so unavailable")
+    rng = np.random.default_rng(7)
+    for n, m in ((40, 1 << 8), (16, 1001), (8, 3)):
+        regs = rng.integers(0, 51, size=(n, m), dtype=np.uint8)
+        ii = rng.integers(0, n, 300)
+        kk = rng.integers(0, n, 300)
+        ii[:4] = kk[:4] = 0  # self pairs
+        got = native.pair_union_hist(regs, ii, kk)
+        want = hostref.pair_union_histograms_np(regs, ii, kk)
+        np.testing.assert_array_equal(got, want)
+    # dispatcher prefers the native path for uint8 banks
+    np.testing.assert_array_equal(
+        hostref.pair_union_histograms(regs, ii, kk), want)
+    bad = regs.copy()
+    bad[0, 0] = 200  # not a legal HLL rank; bincount would misfile it
+    with pytest.raises(ValueError):
+        native.pair_union_hist(bad, np.zeros(1, np.int64),
+                               np.ones(1, np.int64))
+    with pytest.raises(ValueError):
+        native.pair_union_hist(regs, np.array([n], np.int64),
+                               np.zeros(1, np.int64))
