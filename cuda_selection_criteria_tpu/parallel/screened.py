@@ -692,8 +692,13 @@ class ScreenPlan:
         return oracle.confirm_pairs(cand)
 
 
-def select_pairs_screened(bank, params, ti=512, chunk=64, checkpoint=None):
+def select_pairs_screened(bank, params, ti=512, chunk=132, checkpoint=None):
     """All-pairs selection via the fused Pallas screen + exact confirmation.
+
+    chunk=132 tiles/dispatch is the kernel-tuning optimum on v5e
+    (experiments/kernel_tuning.py: raw 1.12e9 pairs/s vs 1.05e9 at the
+    round-2 default); mask memory per dispatch stays bounded at
+    chunk*ti^2 bytes (~35 MB at ti=512).
 
     Supports every criterion: smh_a bands are screened on device via LSH
     fingerprints; hll_a/hll_an get the device aux-union gate; the exact
