@@ -212,6 +212,9 @@ def test_native_pair_union_hist_matches_numpy():
     # dispatcher prefers the native path for uint8 banks
     np.testing.assert_array_equal(
         hostref.pair_union_histograms(regs, ii, kk), want)
+    # the thread pool partitions pairs identically (atomic work queue)
+    np.testing.assert_array_equal(
+        native.pair_union_hist(regs, ii, kk, threads=4), want)
     bad = regs.copy()
     bad[0, 0] = 200  # not a legal HLL rank; bincount would misfile it
     with pytest.raises(ValueError):
