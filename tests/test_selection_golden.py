@@ -110,3 +110,23 @@ def test_cli_engine_flag_golden(engine, capsys, tmp_path):
     got = capsys.readouterr().out.replace(REFERENCE + "/", "")
     want = open(os.path.join(REFERENCE, "results.txt")).read()
     assert got == want
+
+
+@pytest.mark.parametrize("threads", [1, 16])
+def test_cli_thread_flag_preserves_golden(threads, capsys, tmp_path):
+    """-t (reference: omp_set_num_threads, src/selection.cpp:113-115) is
+    wired to the sketch loaders and confirm workers; any thread count must
+    yield the verbatim golden output."""
+    from cuda_selection_criteria_tpu.cli import selection
+
+    lst = tmp_path / "filelist.txt"
+    lst.write_text("\n".join(
+        os.path.join(REFERENCE, line.strip())
+        for line in open(os.path.join(REFERENCE, "test_influeza_filelist.txt"))
+        if line.strip()
+    ) + "\n")
+    selection.main(["-l", str(lst), "-a", "32", "-h", "0.9", "-c", "smh_a",
+                    "-t", str(threads)])
+    got = capsys.readouterr().out.replace(REFERENCE + "/", "")
+    want = open(os.path.join(REFERENCE, "results.txt")).read()
+    assert got == want
