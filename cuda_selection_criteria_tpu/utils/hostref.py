@@ -405,6 +405,7 @@ class PairOracle:
             sel = np.concatenate(keep) if keep else sel[:0]
 
         out = []
+        n_done = [0]  # batches adjudicated so far (strictly in sub order)
 
         def adjudicate(sub, hists):
             t = ertl_mle_batch(hists, self.p)
@@ -414,6 +415,7 @@ class PairOracle:
                 (int(ii[sub[g]]), int(kk[sub[g]]), float(jacc[g]))
                 for g in good
             )
+            n_done[0] += 1
 
         subs = [sel[c0:c0 + batch] for c0 in range(0, sel.size, batch)]
         dispatch = getattr(self.hist_fn, "dispatch", None)
@@ -426,15 +428,35 @@ class PairOracle:
             # the next batch (matches the build path's dispatch pipeline).
             from collections import deque
 
-            pend = deque()
-            for sub in subs:
-                pend.append((sub, dispatch(ii[sub], kk[sub])))
-                if len(pend) > 2:
+            try:
+                pend = deque()
+                for sub in subs:
+                    pend.append((sub, dispatch(ii[sub], kk[sub])))
+                    if len(pend) > 2:
+                        done_sub, handle = pend.popleft()
+                        adjudicate(done_sub, self.hist_fn.fetch(handle))
+                while pend:
                     done_sub, handle = pend.popleft()
                     adjudicate(done_sub, self.hist_fn.fetch(handle))
-            while pend:
-                done_sub, handle = pend.popleft()
-                adjudicate(done_sub, self.hist_fn.fetch(handle))
+            except Exception as exc:  # device link died mid-run
+                # The accelerator-backed histogram provider failed (the
+                # lived failure mode is the TPU tunnel dropping during a
+                # long selection). Adjudication is strictly in-order, so
+                # finish the un-adjudicated tail on the exact host path -
+                # identical output, just slower. Selection results stay
+                # bit-exact either way (both providers return exact
+                # integer counts).
+                import sys
+
+                print(
+                    f"confirm: device histogram path failed "
+                    f"({type(exc).__name__}: {exc}); finishing "
+                    f"{len(subs) - n_done[0]} batch(es) on the host path",
+                    file=sys.stderr, flush=True,
+                )
+                for sub in subs[n_done[0]:]:
+                    adjudicate(sub, pair_union_histograms(
+                        self.regs, ii[sub], kk[sub]))
         return out
 
 

@@ -223,3 +223,46 @@ def test_native_pair_union_hist_matches_numpy():
     with pytest.raises(ValueError):
         native.pair_union_hist(regs, np.array([n], np.int64),
                                np.zeros(1, np.int64))
+
+
+def test_confirm_falls_back_to_host_when_device_hist_dies():
+    """If the accelerator-backed histogram provider dies mid-run (the
+    lived failure mode: the TPU tunnel dropping during a long selection),
+    confirm_pairs must finish the un-adjudicated tail on the exact host
+    path and return the identical result set."""
+    rng = np.random.default_rng(9)
+    n, p = 64, 10
+    regs = rng.integers(0, 30, size=(n, 1 << p), dtype=np.uint8)
+    e = np.trunc(np.sort(rng.uniform(1e4, 2e4, n)))
+    pairs = [(i, k) for i in range(n - 1) for k in range(i + 1, n)]
+    want = hostref.PairOracle(
+        p, regs, e, criterion="baseline", tau=-100.0, apply_cb=False
+    ).confirm_pairs(pairs, batch=256)
+    assert len(want) == len(pairs)
+
+    calls = {"n": 0}
+
+    def dispatch(ii, kk):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("tunnel lost")
+        return np.stack([
+            np.bincount(np.maximum(regs[i], regs[k]).astype(np.int64),
+                        minlength=64)
+            for i, k in zip(ii, kk)
+        ])
+
+    def fetch(handle):
+        return handle
+
+    def fn(ii, kk):
+        return fetch(dispatch(ii, kk))
+
+    fn.dispatch = dispatch
+    fn.fetch = fetch
+    got = hostref.PairOracle(
+        p, regs, e, criterion="baseline", tau=-100.0, apply_cb=False,
+        hist_fn=fn,
+    ).confirm_pairs(pairs, batch=256)
+    assert calls["n"] == 3  # two good batches, one poisoned
+    assert got == want
