@@ -59,7 +59,7 @@ timeout 2400 python experiments/confirm_throughput.py --chunk 32768 --batch 6553
 echo "confirm32k rc=$?"; tail -1 $R/confirm32k.out
 
 echo "=== 5. h2d/d2h bandwidth + prune-shape probe ==="
-timeout 1800 python /tmp/h2d_probe.py > $R/h2d.out 2> $R/h2d.err
+timeout 1800 python experiments/h2d_probe.py > $R/h2d.out 2> $R/h2d.err
 echo "h2d rc=$?"; cat $R/h2d.out
 
 echo "=== 5b. ktune: int16-compare probe vs base at best chunk ==="
