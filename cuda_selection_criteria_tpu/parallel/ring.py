@@ -387,20 +387,26 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
                         stats["max_device_mask_bytes"],
                         width * ti * ti * hits.dtype.itemsize)
             # Counts-first fetch for the whole step's pipeline, then only
-            # the masks of tiles that actually hit cross the host link.
+            # the masks of tiles that actually hit cross the host link -
+            # gathered in ONE fetch per dispatch (a blocking fetch costs
+            # ~28 ms through the tunnel; per-tile fetches would pay that
+            # once per hit tile).
             counts = np.asarray(
                 jnp.concatenate([cn for _, _, _, cn in pending]))
             pos = 0
             for r_chunk, c_chunk, hits, _ in pending:
                 width = len(r_chunk)
-                for t in np.nonzero(counts[pos:pos + width * n_dev])[0]:
-                    d = int(t) // width
-                    tl = int(t) % width
-                    src = (d - s) % n_dev
-                    ri, cj = np.nonzero(np.asarray(hits[t]))
-                    gi = d * strip + int(r_chunk[tl]) * ti + ri
-                    gj = src * strip + int(c_chunk[tl]) * ti + cj
-                    cand.extend(zip(gi.tolist(), gj.tolist()))
+                ts = np.nonzero(counts[pos:pos + width * n_dev])[0]
+                if ts.size:
+                    masks = jax.device_get(hits[jnp.asarray(ts)])
+                    for t, mask in zip(ts.tolist(), masks):
+                        d = t // width
+                        tl = t % width
+                        src = (d - s) % n_dev
+                        ri, cj = np.nonzero(mask)
+                        gi = d * strip + int(r_chunk[tl]) * ti + ri
+                        gj = src * strip + int(c_chunk[tl]) * ti + cj
+                        cand.extend(zip(gi.tolist(), gj.tolist()))
                 pos += width * n_dev
             if stats is not None:
                 stats["steps_run"] += 1
