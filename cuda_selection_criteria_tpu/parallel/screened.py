@@ -613,11 +613,17 @@ class ScreenPlan:
             for span, r_chunk, c_chunk, hits, _ in pending:
                 width = len(r_chunk)
                 span_cand = []
-                for t in np.nonzero(counts[pos:pos + width])[0]:
-                    ri, cj = np.nonzero(np.asarray(hits[t]))
-                    gi = r_chunk[t] * ti + ri
-                    gj = c_chunk[t] * ti + cj
-                    span_cand.extend(zip(gi.tolist(), gj.tolist()))
+                ts = np.nonzero(counts[pos:pos + width])[0]
+                if ts.size:
+                    # One gathered fetch per dispatch: a blocking fetch
+                    # costs ~28 ms through the tunnel, so per-hit-tile
+                    # fetches would pay that once per tile.
+                    masks = jax.device_get(hits[jnp.asarray(ts)])
+                    for t, mask in zip(ts.tolist(), masks):
+                        ri, cj = np.nonzero(mask)
+                        gi = r_chunk[t] * ti + ri
+                        gj = c_chunk[t] * ti + cj
+                        span_cand.extend(zip(gi.tolist(), gj.tolist()))
                 pos += width
                 cand.extend(span_cand)
                 if ckpt is not None:
