@@ -336,6 +336,14 @@ class _SweepCheckpoint:
         self._fh.close()
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _place_rows(buf, slab, i0):
+    """In-place (donated) row placement for the slab-pipelined bank
+    upload: buf[i0:i0+len(slab)] = slab without a second bank-sized
+    device allocation."""
+    return jax.lax.dynamic_update_slice(buf, slab, (i0, jnp.int32(0)))
+
+
 class ScreenPlan:
     """Everything the screen cascade needs, prepared once per bank/params:
     the sorted+padded host arrays, the device-resident bank, and the
@@ -449,10 +457,15 @@ class ScreenPlan:
         """Device register bank: sorted + padded, assembled lazily on
         first screen/confirm touch (blocking; wall in self.upload_secs).
 
-        The raw bank is uploaded as-is (its pages are already faulted in
-        from the build/load) and the cardinality sort is a device-side
-        gather - rows ride HBM instead of a host-side 2 GiB fancy-index.
-        Transiently holds raw + gathered (2x bank bytes) on device."""
+        Slab-pipelined sorted upload: the host gathers a bounded slab of
+        sorted rows (the malloc arena re-backs the same pages every
+        iteration - utils/hostmem), ships it with an async device_put,
+        and places it into a donated device buffer with one compiled
+        dynamic_update_slice. Device peak = bank + one slab - the old
+        whole-bank device take held raw + gathered = 2x bank bytes, an
+        OOM at the ~500k-genome operating point (8 GiB bank on 16 GB
+        HBM) - and the host gather of slab k+1 overlaps the wire
+        transfer of slab k."""
         if self._d_regs is None:
             t0 = time.perf_counter()
             if self._regs_s is not None:
@@ -465,14 +478,15 @@ class ScreenPlan:
                     rp = rp2
                 self._d_regs = jnp.asarray(rp)
             else:
-                raw = jnp.asarray(self.bank.regs)
-                g = jnp.take(raw, jnp.asarray(self.order, jnp.int32),
-                             axis=0)
-                if self.n_pad != self.n:
-                    g = jnp.zeros((self.n_pad, g.shape[1]), g.dtype
-                                  ).at[: self.n].set(g)
-                self._d_regs = g
-                del raw
+                r = self.bank.regs.shape[1]
+                slab = max(self.ti,
+                           ((128 << 20) // max(r, 1)) // self.ti * self.ti)
+                buf = jnp.zeros((self.n_pad, r), jnp.uint8)
+                for k0 in range(0, self.n, slab):
+                    rows = self.order[k0:k0 + slab]
+                    d_slab = jax.device_put(self.bank.regs[rows])
+                    buf = _place_rows(buf, d_slab, jnp.int32(k0))
+                self._d_regs = buf
             self._d_regs.block_until_ready()
             self.upload_secs += time.perf_counter() - t0
         return self._d_regs
