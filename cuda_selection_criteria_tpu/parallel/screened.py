@@ -479,8 +479,9 @@ class ScreenPlan:
                 self._d_regs = jnp.asarray(rp)
             else:
                 r = self.bank.regs.shape[1]
+                slab_bytes = getattr(self, "upload_slab_bytes", 128 << 20)
                 slab = max(self.ti,
-                           ((128 << 20) // max(r, 1)) // self.ti * self.ti)
+                           (slab_bytes // max(r, 1)) // self.ti * self.ti)
                 buf = jnp.zeros((self.n_pad, r), jnp.uint8)
                 for k0 in range(0, self.n, slab):
                     rows = self.order[k0:k0 + slab]

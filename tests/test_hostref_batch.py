@@ -189,6 +189,13 @@ def test_d_regs_device_gather_matches_host_sort():
     _ = plan2.regs_s
     np.testing.assert_array_equal(np.asarray(plan2.d_regs), want)
 
+    # multi-slab pipelined upload (the >HBM/2 bank path, slab size forced
+    # tiny): several donated dynamic_update_slice placements, including a
+    # short final slab, must assemble the identical bank
+    plan3 = ScreenPlan(bank, params, ti=16)
+    plan3.upload_slab_bytes = 16 * (1 << p)  # 16 rows/slab, 3 slabs
+    np.testing.assert_array_equal(np.asarray(plan3.d_regs), want)
+
 
 def test_native_pair_union_hist_matches_numpy():
     """The native fused gather+max+histogram (native/fastx
