@@ -340,8 +340,11 @@ class _SweepCheckpoint:
 def _place_rows(buf, slab, i0):
     """In-place (donated) row placement for the slab-pipelined bank
     upload: buf[i0:i0+len(slab)] = slab without a second bank-sized
-    device allocation."""
-    return jax.lax.dynamic_update_slice(buf, slab, (i0, jnp.int32(0)))
+    device allocation. The scalar token is NOT donated, so the host can
+    block on it to learn this placement consumed its slab (the buf chain
+    itself is donated away and cannot be blocked on)."""
+    out = jax.lax.dynamic_update_slice(buf, slab, (i0, jnp.int32(0)))
+    return out, out[i0, 0].astype(jnp.int32)
 
 
 class ScreenPlan:
@@ -483,10 +486,24 @@ class ScreenPlan:
                 slab = max(self.ti,
                            (slab_bytes // max(r, 1)) // self.ti * self.ti)
                 buf = jnp.zeros((self.n_pad, r), jnp.uint8)
-                for k0 in range(0, self.n, slab):
+                # Two reused gather arenas (fresh pages cost ~70 MiB/s of
+                # first-touch on lazily-backed VM hosts - pay it for
+                # 2 slabs, not the whole bank) + a 2-deep pipeline: the
+                # host gathers slab k while slab k-1 rides the wire.
+                # Blocking on the place that CONSUMED an arena's slab
+                # makes reuse safe even if device_put aliased the numpy
+                # buffer (CPU backend zero-copy).
+                arenas = [np.empty((slab, r), np.uint8) for _ in range(2)]
+                tokens = [None, None]
+                for idx, k0 in enumerate(range(0, self.n, slab)):
+                    a = arenas[idx % 2]
+                    if tokens[idx % 2] is not None:
+                        tokens[idx % 2].block_until_ready()
                     rows = self.order[k0:k0 + slab]
-                    d_slab = jax.device_put(self.bank.regs[rows])
-                    buf = _place_rows(buf, d_slab, jnp.int32(k0))
+                    np.take(self.bank.regs, rows, axis=0, out=a[: len(rows)])
+                    d_slab = jax.device_put(a[: len(rows)])
+                    buf, tokens[idx % 2] = _place_rows(buf, d_slab,
+                                                       jnp.int32(k0))
                 self._d_regs = buf
             self._d_regs.block_until_ready()
             self.upload_secs += time.perf_counter() - t0
@@ -512,18 +529,24 @@ class ScreenPlan:
         cols = np.array([c0 // self.ti for _, (c0, _) in tiles], np.int32)
         return rows, cols
 
-    def prune_tiles(self, rows, cols, chunk=256):
+    def prune_tiles(self, rows, cols, chunk=256, stats=None):
         """Cascade stage 1: the cheap gates alone (CB outer compare +,
         for smh criteria, LSH fingerprint equality - pure VPU work, no
         harmonic sums) decide which tiles can contain candidates at all.
         Tiles with zero gate-passing pairs never pay for the MXU kernel,
         for EVERY gated criterion - the reference skips the union for
         gate-failing pairs the same way (src/selection.cpp:164-167,282-286).
+
+        stats: optional dict, filled with the stage's wall split
+        (first dispatch = compile, steady dispatch, fetch) so at-scale
+        runs can tell compile cost from compute.
         """
         if len(rows) <= 1 or not (self.use_cb or self.use_smh):
             return rows, cols
         gpend = []
         gchunk = max(chunk, 256)
+        t0 = time.perf_counter()
+        t_first = None
         for c0 in range(0, len(rows), gchunk):
             r_g = np.pad(rows[c0:c0 + gchunk],
                          (0, max(0, gchunk - (len(rows) - c0))),
@@ -536,7 +559,17 @@ class ScreenPlan:
                 jnp.int32(self.n), self.tau_cb, self.n_bands, self.ti,
                 self.use_cb, self.use_smh,
             ))
+            if t_first is None:
+                t_first = time.perf_counter() - t0
+        t_disp = time.perf_counter() - t0
         gate_counts = np.concatenate([np.asarray(g) for g in gpend])
+        if stats is not None:
+            stats.update(
+                gate_chunks=len(gpend),
+                gate_first_dispatch_secs=round(t_first or 0.0, 2),
+                gate_dispatch_secs=round(t_disp, 2),
+                gate_fetch_secs=round(time.perf_counter() - t0 - t_disp, 2),
+            )
         live = gate_counts[: len(rows)] > 0
         return rows[live], cols[live]
 

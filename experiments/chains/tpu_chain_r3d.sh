@@ -19,9 +19,13 @@ echo "=== 1. viral manifest n=2048 on TPU (r3b run hit a mid-edit import) ==="
 timeout 3000 python experiments/validate_viral_manifest.py --n 2048 --workdir /tmp/csc_viralrs_2k > $R/manifest2k.out 2> $R/manifest2k.err
 echo "manifest rc=$?"; tail -3 $R/manifest2k.out
 
-echo "=== 2. 131k rerun: slab-pipelined upload (bank cached from r3b) ==="
+echo "=== 2. 131k rerun: slab-pipelined upload + prune wall split (bank cached) ==="
 timeout 3600 python experiments/validate_131k_scale.py > $R/scale131k.out 2> $R/scale131k.err
 echo "131k rc=$?"; tail -1 $R/scale131k.out
+
+echo "=== 2b. 262k rerun: arena-gather upload + prune wall split (bank cached) ==="
+timeout 3600 python experiments/validate_131k_scale.py --n 262144 > $R/scale262k.out 2> $R/scale262k.err
+echo "262k rc=$?"; tail -1 $R/scale262k.out
 
 echo "=== 3. ktune: int8 variants toward mxu_util 0.70 (int8c16 fails Mosaic) ==="
 timeout 3000 python experiments/kernel_tuning.py --tiles 264 \

@@ -98,7 +98,8 @@ def main(argv=None):
     n_sched = len(rows)
 
     t0 = time.perf_counter()
-    rows, cols = plan.prune_tiles(rows, cols, chunk=256)
+    prune_stats = {}
+    rows, cols = plan.prune_tiles(rows, cols, chunk=256, stats=prune_stats)
     stages["prune_secs"] = time.perf_counter() - t0
 
     # One-time register-bank H2D, accounted separately: the production
@@ -142,6 +143,7 @@ def main(argv=None):
         "planted_recovered": ok,
         "min_jacc": round(min(jaccs), 6) if jaccs else None,
         **{k: round(v, 2) for k, v in stages.items()},
+        **prune_stats,
         "total_secs": round(total, 2),
         "triangle_pairs_per_sec": round(tri_pairs / total, 1),
         "vs_baseline": round(
