@@ -39,8 +39,11 @@ CUDA_BASELINE_PAIRS_PER_SEC = 2.32e7  # see module docstring
 P = 14
 M_SMH = 32  # aux_bytes=256 default -> m=32 buckets
 TAU = 0.9
-TI = 512
-CHUNK = 132  # dispatch chunk; remainders use small bucketed dispatches
+# The engine's measured v5e optimum (parallel.screened.auto_tile /
+# auto_chunk; r3e same-session sweep: 1024/33 = 1.19e9 pairs/s raw,
+# mxu_util 0.69 vs 0.84e9 / 0.49 at 512/132).
+TI = 1024
+CHUNK = 33  # dispatch chunk; remainders use small bucketed dispatches
 N_GENOMES = 16384
 ITEMS_PER_GENOME = 2048
 

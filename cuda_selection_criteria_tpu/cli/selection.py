@@ -28,8 +28,9 @@ def main(argv=None):
     ap.add_argument("-h", dest="threshold", type=float, default=0.9)
     ap.add_argument("-c", dest="criterion", default="")
     # -b: block size, flag-parity with selection_cuda (reference:
-    # src/selection_cuda.cpp:68-88).
-    ap.add_argument("-b", "--block", type=int, default=512, dest="block")
+    # src/selection_cuda.cpp:68-88). Default None = the engine's measured
+    # auto-rule (screened: parallel.screened.auto_tile; dense: 512).
+    ap.add_argument("-b", "--block", type=int, default=None, dest="block")
     ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--sharded", action="store_true",
                     help="use the dense multi-device mesh engine "
@@ -82,7 +83,7 @@ def main(argv=None):
         tau=args.threshold,
         criterion=args.criterion,
         aux_bytes=args.aux_bytes,
-        block=args.block,
+        block=args.block or 512,
         precision=args.precision,
     )
     from ..utils.resilience import run_with_transient_retry
@@ -98,7 +99,7 @@ def main(argv=None):
         # -b is the screen tile size here (the reference's -b is its CUDA
         # kernel block size - same knob, same default)
         run = lambda: select_pairs_screened_sharded(  # noqa: E731
-            bank, params, ti=args.block)
+            bank, params, ti=args.block or 512)
     elif engine == "ring":
         from ..parallel.ring import select_pairs_ring
 

@@ -433,6 +433,7 @@ class ScreenPlan:
         # on the 2 GiB upload it never reads).
         self._d_regs = self._d_aux_regs = None
         self.upload_secs = 0.0
+        self.upload_stats = {}
         self.d_e = jnp.asarray(e_p.astype(np.float32))
         # Truncated telescope: a one-sided (overestimating) harmonic sum
         # with ~2-3x fewer MXU passes; extra borderline candidates go to
@@ -471,6 +472,7 @@ class ScreenPlan:
         transfer of slab k."""
         if self._d_regs is None:
             t0 = time.perf_counter()
+            self.upload_stats = {}
             if self._regs_s is not None:
                 # host sorted copy already exists (host confirm touched
                 # it first): pad host-side, one upload
@@ -495,18 +497,36 @@ class ScreenPlan:
                 # buffer (CPU backend zero-copy).
                 arenas = [np.empty((slab, r), np.uint8) for _ in range(2)]
                 tokens = [None, None]
+                ph = {"slabs": 0, "gather_secs": 0.0, "put_ret_secs": 0.0,
+                      "token_wait_secs": 0.0}
                 for idx, k0 in enumerate(range(0, self.n, slab)):
                     a = arenas[idx % 2]
+                    tp = time.perf_counter()
                     if tokens[idx % 2] is not None:
                         tokens[idx % 2].block_until_ready()
+                    ph["token_wait_secs"] += time.perf_counter() - tp
                     rows = self.order[k0:k0 + slab]
+                    tp = time.perf_counter()
                     np.take(self.bank.regs, rows, axis=0, out=a[: len(rows)])
+                    ph["gather_secs"] += time.perf_counter() - tp
+                    tp = time.perf_counter()
                     d_slab = jax.device_put(a[: len(rows)])
+                    ph["put_ret_secs"] += time.perf_counter() - tp
                     buf, tokens[idx % 2] = _place_rows(buf, d_slab,
                                                        jnp.int32(k0))
+                    ph["slabs"] += 1
                 self._d_regs = buf
+                self.upload_stats = ph
+            # blocking on the placed-buffer computation output forces the
+            # whole chain (device_put itself is ASYNC through the relay:
+            # block_until_ready on a freshly-put array returns
+            # immediately - artifacts/r4/forensics.out round 0)
             self._d_regs.block_until_ready()
             self.upload_secs += time.perf_counter() - t0
+            if self.upload_stats:
+                self.upload_stats["wire_wait_secs"] = round(
+                    self.upload_secs - self.upload_stats["gather_secs"]
+                    - self.upload_stats["put_ret_secs"], 2)
         return self._d_regs
 
     @property
@@ -522,12 +542,11 @@ class ScreenPlan:
 
     def schedule(self):
         """Block-level schedule: (rows, cols) tile indices the CB bound
-        cannot rule out."""
-        tiles = scheduler.triangle_blocks(self.e_p[: self.n], self.tau,
-                                          self.ti, use_cb_skip=self.use_cb)
-        rows = np.array([r0 // self.ti for (r0, _), _ in tiles], np.int32)
-        cols = np.array([c0 // self.ti for _, (c0, _) in tiles], np.int32)
-        return rows, cols
+        cannot rule out (vectorized; 22.6 s -> ms at N=524,288)."""
+        rows, cols = scheduler.triangle_block_ids(
+            self.e_p[: self.n], self.tau, self.ti,
+            use_cb_skip=self.use_cb)
+        return rows.astype(np.int32), cols.astype(np.int32)
 
     def prune_tiles(self, rows, cols, chunk=256, stats=None):
         """Cascade stage 1: the cheap gates alone (CB outer compare +,
@@ -562,7 +581,15 @@ class ScreenPlan:
             if t_first is None:
                 t_first = time.perf_counter() - t0
         t_disp = time.perf_counter() - t0
-        gate_counts = np.concatenate([np.asarray(g) for g in gpend])
+        # ONE blocking fetch for the whole stage: the r3e chain measured
+        # the per-chunk fetch loop at 470 s for 129 tiny (256,) int32
+        # fetches (~3.6 s each vs the 25.8 ms probed round-trip,
+        # artifacts/r3/chain5/scale131k.out) while dispatch stayed at
+        # 2.6 s - whatever the relay does per blocking fetch, pay it
+        # once, not once per chunk. The device-side concatenate is a
+        # single trivial dispatch.
+        gate_counts = (np.asarray(gpend[0]) if len(gpend) == 1 else
+                       np.asarray(jnp.concatenate(gpend)))
         if stats is not None:
             stats.update(
                 gate_chunks=len(gpend),
@@ -746,13 +773,31 @@ class ScreenPlan:
         return oracle.confirm_pairs(cand)
 
 
-def select_pairs_screened(bank, params, ti=512, chunk=132, checkpoint=None):
+def auto_tile(n):
+    """Measured v5e tile auto-rule: ti=1024 once the bank spans several
+    tiles, else 512.
+
+    The r3e same-session utilization sweep (artifacts/r3/chain5/ktune2.out)
+    measured 1024:auto:int8:chunk33 at 1.19e9 pairs/s / mxu_util 0.69 vs
+    512:auto:int8:chunk132 at 0.84e9 / 0.49 - bigger tiles amortize the
+    per-r-step VPU widen/compare over 4x the MXU work. Small banks keep
+    512: padding waste dominates before the kernel does."""
+    return 1024 if n >= 4096 else 512
+
+
+def auto_chunk(ti):
+    """Tiles per dispatch at equal per-dispatch mask memory (~35 MB)."""
+    return 33 if ti >= 1024 else 132
+
+
+def select_pairs_screened(bank, params, ti=None, chunk=None,
+                          checkpoint=None):
     """All-pairs selection via the fused Pallas screen + exact confirmation.
 
-    chunk=132 tiles/dispatch is the kernel-tuning optimum on v5e
-    (experiments/kernel_tuning.py: raw 1.12e9 pairs/s vs 1.05e9 at the
-    round-2 default); mask memory per dispatch stays bounded at
-    chunk*ti^2 bytes (~35 MB at ti=512).
+    ti/chunk default to the measured v5e optimum for the bank size
+    (auto_tile/auto_chunk: ti=1024, 33 tiles/dispatch on multi-tile
+    banks - see experiments/kernel_tuning.py); mask memory per dispatch
+    stays bounded at chunk*ti^2 bytes (~35 MB either way).
 
     Supports every criterion: smh_a bands are screened on device via LSH
     fingerprints; hll_a/hll_an get the device aux-union gate; the exact
@@ -762,6 +807,10 @@ def select_pairs_screened(bank, params, ti=512, chunk=132, checkpoint=None):
     """
     if bank.n < 2:
         return []
+    if ti is None:
+        ti = auto_tile(bank.n)
+    if chunk is None:
+        chunk = auto_chunk(ti)
     plan = ScreenPlan(bank, params, ti)
     rows, cols = plan.schedule()
     if not len(rows):

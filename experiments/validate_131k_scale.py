@@ -62,16 +62,23 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=131072)
     ap.add_argument("--tau", type=float, default=0.9)
-    ap.add_argument("--ti", type=int, default=512)
-    ap.add_argument("--chunk", type=int, default=132)
+    ap.add_argument("--ti", type=int, default=None,
+                    help="screen tile size (default: engine auto-rule)")
+    ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--wave", type=int, default=48)
     args = ap.parse_args(argv)
 
     bench._configure_jax()
     import jax
     from cuda_selection_criteria_tpu.models.bank import SketchBank
-    from cuda_selection_criteria_tpu.parallel.screened import ScreenPlan
+    from cuda_selection_criteria_tpu.parallel.screened import (
+        ScreenPlan, auto_chunk, auto_tile)
     from cuda_selection_criteria_tpu.parallel.selection import SelectionParams
+
+    if args.ti is None:
+        args.ti = auto_tile(args.n)
+    if args.chunk is None:
+        args.chunk = auto_chunk(args.ti)
 
     rng = np.random.default_rng(0x131)
     t0 = time.perf_counter()
@@ -102,6 +109,21 @@ def main(argv=None):
     rows, cols = plan.prune_tiles(rows, cols, chunk=256, stats=prune_stats)
     stages["prune_secs"] = time.perf_counter() - t0
 
+    # Same-session wire reference: one 64 MiB put of bank-distributed
+    # bytes, forced by a dependent computation (device_put is async
+    # through the relay and the wire rate swings 10-90 MiB/s between
+    # sessions - artifacts/r4/forensics.out). upload_secs is honest only
+    # relative to what the link gives THIS session.
+    import jax.numpy as jnp
+    wire_mib = 64
+    probe = regs[: (wire_mib << 20) // regs.shape[1]].copy()
+    t0 = time.perf_counter()
+    d_probe = jax.device_put(probe)
+    float(jnp.sum(d_probe[::64, ::512].astype(jnp.float32)))
+    wire_secs = time.perf_counter() - t0
+    del d_probe, probe
+    wire_ref_mib_s = wire_mib / wire_secs
+
     # One-time register-bank H2D, accounted separately: the production
     # build pipeline leaves sketches device-resident, and the reference's
     # own kernel protocol (experiments/src/time_smh_gpu.cu) excludes the
@@ -110,6 +132,12 @@ def main(argv=None):
     _ = plan.d_regs
     _ = plan.d_aux_regs
     stages["upload_secs"] = time.perf_counter() - t0
+    upload_stats = dict(plan.upload_stats)
+    upload_stats["wire_ref_mib_s"] = round(wire_ref_mib_s, 1)
+    # how many x the same-session wire time the upload actually took
+    upload_stats["upload_vs_wire_ref"] = round(
+        stages["upload_secs"] /
+        max(regs.nbytes / 2**20 / wire_ref_mib_s, 1e-9), 2)
 
     t0 = time.perf_counter()
     cand = plan.screen_tiles(rows, cols, chunk=args.chunk, wave=args.wave)
@@ -144,6 +172,8 @@ def main(argv=None):
         "min_jacc": round(min(jaccs), 6) if jaccs else None,
         **{k: round(v, 2) for k, v in stages.items()},
         **prune_stats,
+        "upload_stats": {k: (round(v, 2) if isinstance(v, float) else v)
+                         for k, v in upload_stats.items()},
         "total_secs": round(total, 2),
         "triangle_pairs_per_sec": round(tri_pairs / total, 1),
         "vs_baseline": round(
