@@ -707,48 +707,108 @@ class ScreenPlan:
             ckpt.close()
         return sorted(set(cand))
 
-    def device_hist_fn(self, chunk=8192):
+    def device_hist_fn(self, chunk=8192, tau=None, reject_delta=None):
         """Batched (ii, kk) -> exact union histograms, computed on the
-        device bank (the 32 KiB/pair register scan rides HBM; only the
-        (B, q+2) exact integer counts cross the host link). The f64 MLE on
-        those counts stays on the host, so confirmed output is unchanged.
+        device bank (the 32 KiB/pair register scan rides HBM; only exact
+        integer counts cross the host link). The f64 MLE on those counts
+        stays on the host, so confirmed output is unchanged.
+
+        Device-side reject bound (VERDICT r3 #5): most confirm candidates
+        at scale are rejects, so the kernel also evaluates a conservative
+        J upper bound per pair - the f32 ORIGINAL estimate t_orig from the
+        union histogram, with the same |t_orig/t_mle - 1| <= delta margin
+        the screen uses (params.screen_delta), rejecting only when
+        (1+delta)(e1+e2)/t_orig - 1 < tau can be guaranteed. The host
+        fetches ONE flag byte per pair and gathers full histograms only
+        for the maybe-pass pairs; certain rejects get a sentinel
+        histogram (c[q+1] = m -> MLE inf -> jacc NaN) that the oracle's
+        jacc >= tau filter drops exactly like a computed reject, so the
+        emitted pair set and Jaccard strings are unchanged (fuzz-checked
+        in tests/test_screen.py).
+
+        tau defaults to this plan's threshold; callers that run the
+        oracle at a DIFFERENT tau (e.g. the tau=-100 worst-case protocol
+        of experiments/confirm_throughput.py) must pass theirs, or a
+        non-positive 1+tau disables rejection altogether.
 
         The returned callable also carries .dispatch/.fetch halves so the
         oracle can pipeline device work against the host MLE: through a
         high-latency link (~28 ms/blocking fetch on the axon tunnel) the
         confirm rate is set by fetches-per-pair, so chunks are large and
-        fetches overlap the next batch's compute (VERDICT r2 #4 - the
-        same 2-deep pipeline that fixed the build path).
+        fetches overlap the next batch's compute.
         """
         from ..ops.estimators import hll_histogram
+        from ..ops.screen import original_from_s_z
 
         p = self.bank.p
+        q = 64 - p
+        m = 1 << p
+        if tau is None:
+            tau = float(self.params.tau)
+        delta = float(self.params.screen_delta
+                      if reject_delta is None else reject_delta)
+        if reject_delta is None and p < 10:
+            # measured |t_orig/t_mle - 1| worst case: 0.019 (p=8), 0.024
+            # (p=10), 0.087 (p=6) - tiny-precision primaries get the aux
+            # margin so a false certain-reject is impossible there too
+            delta = max(delta, SCREEN_DELTA_AUX)
+        # f32 slop: s is a <= q+2-term f32 sum of exact products
+        # (c_k * 2^-k, both exactly representable), ~6e-6 relative; e1+e2
+        # rounds once. 1e-4 covers both with two orders to spare.
+        coef = np.float32((1.0 + delta) * (1.0 + 1e-4))
+        one_tau = np.float32(1.0 + tau)
+        out_t = jnp.int16 if p <= 14 else jnp.int32
 
         @partial(jax.jit, static_argnames=("pp",))
-        def hist(bank_regs, ii, kk, pp):
+        def hist_flag(bank_regs, e, ii, kk, pp):
             merged = jnp.maximum(bank_regs[ii], bank_regs[kk])
-            # Narrow counts halve the fetch payload (the confirm rate
-            # through the tunnel is bytes-fetched-bound); counts <= 2^p
-            # fit int16 exactly for p <= 14.
-            out_t = jnp.int16 if pp <= 14 else jnp.int32
-            return hll_histogram(merged.astype(jnp.int32), pp).astype(out_t)
+            h = hll_histogram(merged.astype(jnp.int32), pp)  # (B, q+2) int
+            # exact-count f32 telescope: t_orig of the union
+            w = np.ldexp(np.ones(q + 2, np.float32),
+                         -np.arange(q + 2)).astype(np.float32)
+            s = jnp.sum(h.astype(jnp.float32) * w[None, :], axis=-1)
+            t_orig = original_from_s_z(s, h[:, 0].astype(jnp.float32), pp)
+            e_sum = e[ii] + e[kk]
+            # certain reject <=> J_mle <= (1+delta)(e1+e2)/t_orig - 1 < tau
+            reject = one_tau * t_orig > coef * e_sum
+            return h.astype(out_t), reject
 
         def dispatch(ii, kk):
-            """Async: returns (pending device arrays, nb)."""
+            """Async: returns (pending device (hist, reject) pairs, nb)."""
             nb = len(ii)
             n_pad = -(-max(nb, 1) // chunk) * chunk
             ip = np.pad(np.asarray(ii, np.int32), (0, n_pad - nb))
             kp = np.pad(np.asarray(kk, np.int32), (0, n_pad - nb))
             pending = [
-                hist(self.d_regs, jnp.asarray(ip[c0:c0 + chunk]),
-                     jnp.asarray(kp[c0:c0 + chunk]), p)
+                hist_flag(self.d_regs, self.d_e,
+                          jnp.asarray(ip[c0:c0 + chunk]),
+                          jnp.asarray(kp[c0:c0 + chunk]), p)
                 for c0 in range(0, n_pad, chunk)
             ]
             return pending, nb
 
         def fetch(handle):
             pending, nb = handle
-            return np.concatenate([np.asarray(h) for h in pending])[:nb]
+            if one_tau <= 0.0:  # bound can never reject: plain hist fetch
+                return np.concatenate(
+                    [np.asarray(h) for h, _ in pending])[:nb]
+            # 1 byte/pair first; full (q+2)-bin rows only for survivors.
+            d_rej = (pending[0][1] if len(pending) == 1 else
+                     jnp.concatenate([r for _, r in pending]))
+            rej = np.asarray(d_rej)[:nb]
+            out = np.zeros((nb, q + 2), np.int32)
+            out[:, q + 1] = m  # sentinel: MLE inf -> jacc NaN -> dropped
+            surv = np.nonzero(~rej)[0]
+            if surv.size:
+                # one gathered fetch, survivor list padded to a pow2
+                # bucket so compiled shapes stay bounded
+                n_pad = max(8, 1 << int(surv.size - 1).bit_length())
+                sp = np.pad(surv, (0, n_pad - surv.size))
+                d_all = (pending[0][0] if len(pending) == 1 else
+                         jnp.concatenate([h for h, _ in pending]))
+                got = np.asarray(jnp.take(d_all, jnp.asarray(sp), axis=0))
+                out[surv] = got[: surv.size]
+            return out
 
         def fn(ii, kk):
             return fetch(dispatch(ii, kk))

@@ -116,6 +116,10 @@ def ertl_mle_batch(c, p, relerr=1e-2):
         )
     x = np.where(m_prime == 0, 0.0, x)
     delta_x = x.copy()
+    # saturated rows (c[q+1] == m) end as inf regardless; keep them out of
+    # the secant loop so sentinel histograms (device reject bound,
+    # parallel/screened.device_hist_fn) cost nothing here
+    delta_x[is_inf] = 0.0
     eps = relerr / math.sqrt(m)
     g_prev = np.zeros(nb)
 
@@ -409,7 +413,10 @@ class PairOracle:
 
         def adjudicate(sub, hists):
             t = ertl_mle_batch(hists, self.p)
-            jacc = (e1[sub] + e2[sub] - t) / t
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # t = inf (saturated or sentinel histograms) -> jacc NaN,
+                # dropped by the >= tau filter below
+                jacc = (e1[sub] + e2[sub] - t) / t
             good = np.nonzero(jacc >= self.tau)[0]
             out.extend(
                 (int(ii[sub[g]]), int(kk[sub[g]]), float(jacc[g]))

@@ -146,7 +146,7 @@ def test_device_hist_fn_matches_numpy():
     bank = SketchBank(names=[f"g{i}" for i in range(n)], regs=regs, p=p,
                       cards=cards)
     plan = ScreenPlan(bank, SelectionParams(tau=0.3, criterion="cb"), ti=64)
-    fn = plan.device_hist_fn(chunk=16)
+    fn = plan.device_hist_fn(chunk=16, tau=-100.0)  # reject bound off
     ii = rng.integers(0, n, 50)
     kk = rng.integers(0, n, 50)
     got = fn(ii, kk)
@@ -157,6 +157,20 @@ def test_device_hist_fn_matches_numpy():
     np.testing.assert_array_equal(
         hostref.ertl_mle_batch(got, p), hostref.ertl_mle_batch(want, p)
     )
+    # with the reject bound ON, every non-sentinel row still matches the
+    # numpy counts exactly, and every sentinel row is a TRUE reject
+    # (exact f64 jacc < tau)
+    q = 64 - p
+    tau = 0.3
+    got_rb = plan.device_hist_fn(chunk=16, tau=tau)(ii, kk)
+    sentinel = got_rb[:, q + 1] == (1 << p)
+    np.testing.assert_array_equal(got_rb[~sentinel][:, : want.shape[1]],
+                                  want[~sentinel][:, : got_rb.shape[1]])
+    if sentinel.any():
+        t = hostref.ertl_mle_batch(want[sentinel], p)
+        e = np.asarray(plan.e_s, np.float64)
+        jacc = (e[ii[sentinel]] + e[kk[sentinel]] - t) / t
+        assert (jacc < tau).all()
 
 
 def test_d_regs_device_gather_matches_host_sort():

@@ -421,3 +421,59 @@ def test_truncated_telescope_is_one_sided_overestimate():
     # cutoff formula: v_c grows with cardinality, never empties the list
     assert screen.truncate_values((0, 1, 2), 1e9, 14) == (0, 1, 2)
     assert len(screen.truncate_values((30, 40), 10.0, 14)) >= 1
+
+
+@pytest.mark.parametrize("tau", [0.02, 0.2, 0.6, 0.9])
+def test_device_hist_fn_reject_bound_exact(tau):
+    """The confirm stage's device reject bound (flag byte + survivor-only
+    histogram gather) must leave the emitted pair set and Jaccard values
+    bit-identical: certain rejects get the sentinel histogram, everything
+    else the exact integer counts the host path would compute."""
+    from cuda_selection_criteria_tpu.parallel.screened import ScreenPlan
+    from cuda_selection_criteria_tpu.utils.hostref import PairOracle
+
+    rng = np.random.default_rng(41)
+    bank = _make_bank(24, 10, 16, rng)
+    params = SelectionParams(tau=tau, criterion="baseline", block=64)
+    plan = ScreenPlan(bank, params, 256)
+    n = bank.n
+    pairs = [(i, k) for i in range(n) for k in range(i + 1, n)]
+
+    def oracle(hist_fn=None, t=tau):
+        return PairOracle(bank.p, plan.regs_s, plan.e_s,
+                          criterion="baseline", tau=t, apply_cb=False,
+                          hist_fn=hist_fn)
+
+    want = oracle().confirm_pairs(pairs)
+    got = oracle(plan.device_hist_fn(chunk=64, tau=tau)).confirm_pairs(pairs)
+    assert want == got
+    # rejection actually fires at high tau on this bank (not a no-op test)
+    if tau >= 0.6:
+        flags_fn = plan.device_hist_fn(chunk=64, tau=tau)
+        pend, nb = flags_fn.dispatch([p_[0] for p_ in pairs],
+                                     [p_[1] for p_ in pairs])
+        import jax.numpy as jnp
+        rej = np.asarray(jnp.concatenate([r for _, r in pend]))[:nb]
+        assert rej.any()
+
+
+def test_device_hist_fn_negative_tau_never_rejects():
+    """1+tau <= 0 (the tau=-100 worst-case throughput protocol) must
+    disable the reject bound and return plain exact histograms."""
+    from cuda_selection_criteria_tpu.parallel.screened import ScreenPlan
+    from cuda_selection_criteria_tpu.utils.hostref import PairOracle
+
+    rng = np.random.default_rng(43)
+    bank = _make_bank(16, 10, 16, rng)
+    params = SelectionParams(tau=0.9, criterion="baseline", block=64)
+    plan = ScreenPlan(bank, params, 256)
+    pairs = [(i, k) for i in range(bank.n) for k in range(i + 1, bank.n)]
+    want = PairOracle(bank.p, plan.regs_s, plan.e_s, criterion="baseline",
+                      tau=-100.0, apply_cb=False).confirm_pairs(pairs)
+    got = PairOracle(
+        bank.p, plan.regs_s, plan.e_s, criterion="baseline", tau=-100.0,
+        apply_cb=False,
+        hist_fn=plan.device_hist_fn(chunk=64, tau=-100.0),
+    ).confirm_pairs(pairs)
+    assert want == got
+    assert len(want) == len(pairs)  # every pair emitted at tau=-100
