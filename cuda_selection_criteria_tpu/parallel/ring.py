@@ -28,14 +28,27 @@ nothing like that remains. Comms per full sweep: each device sends its
 strip D times = N * 16 KiB total, pipelined on ICI; the host loop syncs
 once per ring step (~D blocking fetches per sweep).
 
-Two scheduling prunes run on the host, both exact supersets:
+Three scheduling prunes run on the host, all exact supersets:
   * a ring STEP is skipped entirely when no device's (resident,
     circulating) strip pair can contain an i<j pair passing the
     cardinality bound (strip-level CB bound on the sorted order -
     the reference's row break, src/selection.cpp:164-165, lifted to
     strip granularity);
+  * within a live step, the dispatched tile list is the union over live
+    devices of the CB-block-live local tiles (the screened scheduler's
+    bound per strip pair) - a 131k single-strip diagonal step dispatches
+    the live band, not nt^2/2 tiles;
   * the diagonal step (s=0) screens only the upper-triangle tiles of
     each strip (a <= b), since i<j kills the rest.
+
+Scale hygiene matches the screened engine's (round 4): the sorted bank is
+NEVER materialized on the host - each device's strip arrives via the
+shared slab-pipelined upload (screened.upload_sorted_rows, host peak =
+2 gather slabs) into one row-sharded global array - and the exact confirm
+is device-assisted through that sharded bank (flag-first certain-reject
+fetch, screened.make_device_hist_fn; regs[ii] gathers compile to SPMD
+collective gathers), with the host register copy resolved lazily only on
+device failure.
 
 The screen math, margins, and the exact host confirmation are shared
 with the other engines (conservative superset screen -> PairOracle), so
@@ -44,6 +57,7 @@ supported: for hll_a/hll_an the aux-HLL registers circulate as a second
 (tiny) strip and the conservative aux-union gate runs per chunk.
 """
 
+import time
 from functools import partial
 
 import numpy as np
@@ -52,7 +66,8 @@ import jax.numpy as jnp
 
 from ..ops import criteria, screen
 from ..utils.hostref import PairOracle
-from .screened import band_fingerprints, screen_tau
+from .screened import (band_fingerprints, make_device_hist_fn,
+                       reject_delta_for, screen_tau, upload_sorted_rows)
 
 
 def make_ring_fns(mesh, p, values, ti, strip, n_bands, use_cb, use_smh,
@@ -260,7 +275,11 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
 
     order = bank.sorted_by_cardinality()
     e_s = np.trunc(bank.cards[order])
-    regs_s = bank.regs[order]
+    # The sorted multi-GiB register copy is never materialized on the
+    # host: strips upload via the slab-pipelined gather below, and the
+    # exact confirm resolves its host copy lazily (device-assisted
+    # confirm never touches it) - the same scale hygiene as ScreenPlan
+    # (VERDICT r3 #4, #6).
     aux_s = bank.aux[order] if bank.aux is not None else None
 
     # Pad to D * ti multiple so every strip is a whole number of tiles.
@@ -268,8 +287,6 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
     n_pad = -(-n // quantum) * quantum
     strip = n_pad // n_dev
     nt = strip // ti
-    regs_p = np.zeros((n_pad, regs_s.shape[1]), np.uint8)
-    regs_p[:n] = regs_s
     e_p = np.zeros(n_pad, np.float32)
     e_p[:n] = e_s
 
@@ -303,8 +320,10 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
                 bank.aux_param)
             aux_spec = (bank.aux_param, values_aux)
 
+    # present values are permutation-invariant: scan the UNSORTED bank so
+    # no sorted host copy is ever built
     values = screen.truncate_values(
-        screen.bank_values(regs_s), float(e_s.max(initial=1.0)), bank.p)
+        screen.bank_values(bank.regs), float(e_s.max(initial=1.0)), bank.p)
     tau_scr = jnp.float32(screen_tau(tau, params.screen_delta))
     tau_cb = jnp.float32(tau * (1.0 - 1e-5))
     base = np.arange(n_dev, dtype=np.int32) * strip
@@ -313,8 +332,36 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
         mesh, bank.p, values, ti, strip, n_bands, use_cb, use_smh,
         aux=aux_spec)
 
-    resident = (jnp.asarray(regs_p), jnp.asarray(aux_regs_p),
-                jnp.asarray(e_p), jnp.asarray(fp), jnp.asarray(base))
+    # Sorted strips go to their devices via the shared slab-pipelined
+    # upload (device peak per device = strip + one slab; the host never
+    # holds a full sorted copy), assembled into ONE row-sharded global
+    # array; the small per-row arrays ride plain puts and are resharded
+    # by the jitted steps.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    t0 = time.perf_counter()
+    sharding = NamedSharding(mesh, P("rows", None))
+    r_regs = bank.regs.shape[1]
+    upload_ph = {}
+    shards = []
+    for dev, idx in sorted(
+            sharding.addressable_devices_indices_map(
+                (n_pad, r_regs)).items(),
+            key=lambda kv: kv[1][0].start or 0):
+        lo = idx[0].start or 0
+        shards.append(upload_sorted_rows(
+            bank.regs, order, lo, strip, device=dev, stats=upload_ph))
+    d_regs_global = jax.make_array_from_single_device_arrays(
+        (n_pad, r_regs), sharding, shards)
+    if stats is not None:
+        stats["upload_secs"] = round(time.perf_counter() - t0, 2)
+        stats["upload_stats"] = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in upload_ph.items()}
+
+    d_e_global = jnp.asarray(e_p)
+    resident = (d_regs_global, jnp.asarray(aux_regs_p),
+                d_e_global, jnp.asarray(fp), jnp.asarray(base))
     circ = resident  # step 0: each device vs its own strip
     n_real = jnp.int32(n)
     coef_j = jnp.float32(coef)
@@ -336,16 +383,46 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
             return False
         return True
 
-    # Local tile lists (same for every device): upper triangle on the
-    # diagonal step, the full grid otherwise.
-    lane = np.arange(nt, dtype=np.int32)
-    full_r = np.repeat(lane, nt)
-    full_c = np.tile(lane, nt)
-    diag_keep = full_r <= full_c
-    tile_lists = {
-        True: (full_r[diag_keep], full_c[diag_keep]),
-        False: (full_r, full_c),
-    }
+    # Per-step tile scheduling at CB-block granularity (the screened
+    # engine's scheduler bound, lifted to strip-local tiles - without it
+    # a 131k single-strip diagonal step would dispatch nt^2/2 tiles where
+    # a handful are live). The dispatched list is the UNION over live
+    # devices of their live local tiles (the step's tile list is
+    # replicated across the mesh); per-pair masks inside the kernel keep
+    # every device's output an exact superset as before.
+    t0 = time.perf_counter()
+    k0_pos = int(np.searchsorted(e_s, 0.0, side="right"))
+    g_starts = np.arange(n_dev * nt, dtype=np.int64) * ti
+    first_idx = np.maximum(g_starts, k0_pos)
+    has_pos = first_idx < np.minimum(g_starts + ti, n)
+    tile_minpos = np.where(
+        has_pos, e_p[np.minimum(first_idx, n_pad - 1)].astype(np.float64),
+        np.inf).reshape(n_dev, nt)
+    tile_emax = e_p.reshape(n_dev, nt, ti).astype(np.float64).max(-1)
+    tile_row_live = (g_starts < n).reshape(n_dev, nt)
+    triu = (np.arange(nt)[:, None] <= np.arange(nt)[None, :])
+
+    def step_tiles(s, live):
+        """Union of live (resident-tile, circulating-tile) pairs for ring
+        step s: conservative block-level CB + positive-column + real-row
+        bounds, exactly the scheduler's tile semantics per strip pair."""
+        union = np.zeros((nt, nt), bool)
+        for d in live:
+            src = (d - s) % n_dev
+            m = (tile_row_live[d][:, None]
+                 & np.isfinite(tile_minpos[src])[None, :])
+            if use_cb:
+                with np.errstate(invalid="ignore"):
+                    m &= (tile_emax[d][:, None]
+                          >= tau_cb_host * tile_minpos[src][None, :])
+            if src == d:  # diagonal step: i<j kills below-diagonal tiles
+                m &= triu
+            union |= m
+        rr, cc = np.nonzero(union)
+        return rr.astype(np.int32), cc.astype(np.int32)
+
+    if stats is not None:
+        stats["schedule_secs"] = round(time.perf_counter() - t0, 3)
 
     chunk_tiles = max(1, min(chunk_tiles, nt * nt))
     if stats is not None:
@@ -354,11 +431,16 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
                      strip=strip, chunk_tiles=chunk_tiles)
 
     cand = []
+    t_screen0 = time.perf_counter()
     for s in range(n_dev):
         live = [d for d in range(n_dev) if pair_live(d, (d - s) % n_dev)]
         if live:
-            r_all, c_all = tile_lists[s == 0]
+            r_all, c_all = step_tiles(s, live)
             n_tiles = len(r_all)
+            if stats is not None:
+                stats["tiles_dispatched"] = (
+                    stats.get("tiles_dispatched", 0) + n_tiles)
+        if live and n_tiles:
             # Chunked dispatch with power-of-two remainder buckets
             # (repeat-padded, deduped at extraction) to bound the
             # compiled-shape count.
@@ -413,14 +495,33 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
         if s < n_dev - 1:
             circ = rotate(*circ)
     cand = sorted(set(cand))
+    if stats is not None:
+        stats["screen_secs"] = round(time.perf_counter() - t_screen0, 2)
+        stats["candidates"] = len(cand)
 
+    # Exact confirm: device-assisted through the row-sharded global bank
+    # (regs[ii]/regs[kk] gathers compile to SPMD collective gathers under
+    # jit; only flags + survivor histograms cross the host link, with the
+    # certain-reject bound) - the host register copy is resolved lazily
+    # and only if the device path is unavailable or fails mid-run.
+    t0 = time.perf_counter()
+    hist_fn = None
+    if jax.default_backend() != "cpu":
+        hist_fn = make_device_hist_fn(
+            lambda: d_regs_global, lambda: d_e_global, bank.p,
+            float(params.tau),
+            reject_delta_for(bank.p, params.screen_delta))
     oracle = PairOracle(
-        bank.p, regs_s, e_s, aux=aux_s, aux_param=bank.aux_param,
-        criterion=crit, tau=params.tau, z_score=params.z_score,
-        order_n=params.order_n, apply_cb=use_cb,
+        bank.p, (lambda: bank.regs[order]), e_s, aux=aux_s,
+        aux_param=bank.aux_param, criterion=crit, tau=params.tau,
+        z_score=params.z_score, order_n=params.order_n, apply_cb=use_cb,
+        hist_fn=hist_fn,
     )
     names = bank.names
-    return [
+    out = [
         (names[order[i]], names[order[j]], jacc)
         for i, j, jacc in oracle.confirm_pairs(cand)
     ]
+    if stats is not None:
+        stats["confirm_secs"] = round(time.perf_counter() - t0, 2)
+    return out

@@ -347,6 +347,154 @@ def _place_rows(buf, slab, i0):
     return out, out[i0, 0].astype(jnp.int32)
 
 
+def upload_sorted_rows(bank_regs, order, lo, rows_out, device=None,
+                       slab_bytes=128 << 20, stats=None):
+    """Slab-pipelined upload of sorted bank rows [lo, lo+rows_out) to one
+    device: (rows_out, R) uint8 array, rows past len(order) zero-padded.
+
+    The host gathers a bounded slab of `bank_regs[order[...]]` into one of
+    two reused arenas (fresh pages cost ~70 MiB/s of first-touch on
+    lazily-backed VM hosts - pay it for 2 slabs, not the whole bank),
+    ships it with an async device_put, and places it into a donated
+    device buffer with one compiled dynamic_update_slice - device peak =
+    buffer + one slab, and the gather of slab k+1 overlaps the wire
+    transfer of slab k. Shared by the single-chip ScreenPlan upload and
+    the ring engine's per-device strip uploads (VERDICT r3 #4)."""
+    r = bank_regs.shape[1]
+    slab = max(1, slab_bytes // max(r, 1))
+    ctx = jax.default_device(device) if device is not None else None
+    if ctx is not None:
+        ctx.__enter__()
+    try:
+        buf = jnp.zeros((rows_out, r), jnp.uint8)
+        count = max(0, min(len(order) - lo, rows_out))
+        if count == 0:
+            buf.block_until_ready()
+            return buf
+        arenas = [np.empty((min(slab, count), r), np.uint8)
+                  for _ in range(2)]
+        tokens = [None, None]
+        ph = stats if stats is not None else {}
+        ph.setdefault("slabs", 0)
+        for key in ("gather_secs", "put_ret_secs", "token_wait_secs"):
+            ph.setdefault(key, 0.0)
+        for idx, k0 in enumerate(range(0, count, slab)):
+            a = arenas[idx % 2]
+            tp = time.perf_counter()
+            if tokens[idx % 2] is not None:
+                tokens[idx % 2].block_until_ready()
+            ph["token_wait_secs"] += time.perf_counter() - tp
+            rows = order[lo + k0: lo + min(k0 + slab, count)]
+            tp = time.perf_counter()
+            np.take(bank_regs, rows, axis=0, out=a[: len(rows)])
+            ph["gather_secs"] += time.perf_counter() - tp
+            tp = time.perf_counter()
+            d_slab = jax.device_put(a[: len(rows)], device)
+            ph["put_ret_secs"] += time.perf_counter() - tp
+            buf, tokens[idx % 2] = _place_rows(buf, d_slab, jnp.int32(k0))
+            ph["slabs"] += 1
+        # blocking on the placed-buffer computation output forces the
+        # whole chain (device_put itself is ASYNC through the relay:
+        # block_until_ready on a freshly-put array returns immediately -
+        # artifacts/r4/forensics.out round 0)
+        buf.block_until_ready()
+        return buf
+    finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
+
+
+def reject_delta_for(p, screen_delta):
+    """Certain-reject margin for a primary precision p: the screen delta,
+    widened to the aux margin for tiny precisions (measured
+    |t_orig/t_mle - 1| worst case: 0.019 at p=8, 0.024 at p=10, 0.087 at
+    p=6 - a false certain-reject must be impossible everywhere)."""
+    delta = float(screen_delta)
+    if p < 10:
+        delta = max(delta, SCREEN_DELTA_AUX)
+    return delta
+
+
+def make_device_hist_fn(get_regs, get_e, p, tau, delta, chunk=8192):
+    """Standalone device-histogram provider with the certain-reject bound
+    (shared by ScreenPlan.device_hist_fn and the ring engine's confirm).
+
+    get_regs/get_e: zero-arg callables resolving to the device register
+    bank (sorted+padded, any sharding jit accepts) and the f32 sorted
+    cardinalities - callables so a deferred upload stays deferred until
+    the first confirm batch actually dispatches."""
+    from ..ops.estimators import hll_histogram
+    from ..ops.screen import original_from_s_z
+
+    q = 64 - p
+    m = 1 << p
+    # f32 slop: s is a <= q+2-term f32 sum of exact products
+    # (c_k * 2^-k, both exactly representable), ~6e-6 relative; e1+e2
+    # rounds once. 1e-4 covers both with two orders to spare.
+    coef = np.float32((1.0 + delta) * (1.0 + 1e-4))
+    one_tau = np.float32(1.0 + tau)
+    out_t = jnp.int16 if p <= 14 else jnp.int32
+
+    @partial(jax.jit, static_argnames=("pp",))
+    def hist_flag(bank_regs, e, ii, kk, pp):
+        merged = jnp.maximum(bank_regs[ii], bank_regs[kk])
+        h = hll_histogram(merged.astype(jnp.int32), pp)  # (B, q+2) ints
+        # exact-count f32 telescope: t_orig of the union
+        w = np.ldexp(np.ones(q + 2, np.float32),
+                     -np.arange(q + 2)).astype(np.float32)
+        s = jnp.sum(h.astype(jnp.float32) * w[None, :], axis=-1)
+        t_orig = original_from_s_z(s, h[:, 0].astype(jnp.float32), pp)
+        e_sum = e[ii] + e[kk]
+        # certain reject <=> J_mle <= (1+delta)(e1+e2)/t_orig - 1 < tau
+        reject = one_tau * t_orig > coef * e_sum
+        return h.astype(out_t), reject
+
+    def dispatch(ii, kk):
+        """Async: returns (pending device (hist, reject) pairs, nb)."""
+        nb = len(ii)
+        n_pad = -(-max(nb, 1) // chunk) * chunk
+        ip = np.pad(np.asarray(ii, np.int32), (0, n_pad - nb))
+        kp = np.pad(np.asarray(kk, np.int32), (0, n_pad - nb))
+        d_regs = get_regs()
+        d_e = get_e()
+        pending = [
+            hist_flag(d_regs, d_e, jnp.asarray(ip[c0:c0 + chunk]),
+                      jnp.asarray(kp[c0:c0 + chunk]), p)
+            for c0 in range(0, n_pad, chunk)
+        ]
+        return pending, nb
+
+    def fetch(handle):
+        pending, nb = handle
+        if one_tau <= 0.0:  # bound can never reject: plain hist fetch
+            return np.concatenate(
+                [np.asarray(h) for h, _ in pending])[:nb]
+        # 1 byte/pair first; full (q+2)-bin rows only for survivors.
+        d_rej = (pending[0][1] if len(pending) == 1 else
+                 jnp.concatenate([r for _, r in pending]))
+        rej = np.asarray(d_rej)[:nb]
+        out = np.zeros((nb, q + 2), np.int32)
+        out[:, q + 1] = m  # sentinel: MLE inf -> jacc NaN -> dropped
+        surv = np.nonzero(~rej)[0]
+        if surv.size:
+            # one gathered fetch, survivor list padded to a pow2 bucket
+            # so compiled shapes stay bounded
+            n_pad = max(8, 1 << int(surv.size - 1).bit_length())
+            sp = np.pad(surv, (0, n_pad - surv.size))
+            d_all = (pending[0][0] if len(pending) == 1 else
+                     jnp.concatenate([h for h, _ in pending]))
+            got = np.asarray(jnp.take(d_all, jnp.asarray(sp), axis=0))
+            out[surv] = got[: surv.size]
+        return out
+
+    def fn(ii, kk):
+        return fetch(dispatch(ii, kk))
+
+    fn.dispatch = dispatch
+    fn.fetch = fetch
+    return fn
+
+
 class ScreenPlan:
     """Everything the screen cascade needs, prepared once per bank/params:
     the sorted+padded host arrays, the device-resident bank, and the
@@ -483,44 +631,13 @@ class ScreenPlan:
                     rp = rp2
                 self._d_regs = jnp.asarray(rp)
             else:
-                r = self.bank.regs.shape[1]
-                slab_bytes = getattr(self, "upload_slab_bytes", 128 << 20)
-                slab = max(self.ti,
-                           (slab_bytes // max(r, 1)) // self.ti * self.ti)
-                buf = jnp.zeros((self.n_pad, r), jnp.uint8)
-                # Two reused gather arenas (fresh pages cost ~70 MiB/s of
-                # first-touch on lazily-backed VM hosts - pay it for
-                # 2 slabs, not the whole bank) + a 2-deep pipeline: the
-                # host gathers slab k while slab k-1 rides the wire.
-                # Blocking on the place that CONSUMED an arena's slab
-                # makes reuse safe even if device_put aliased the numpy
-                # buffer (CPU backend zero-copy).
-                arenas = [np.empty((slab, r), np.uint8) for _ in range(2)]
-                tokens = [None, None]
-                ph = {"slabs": 0, "gather_secs": 0.0, "put_ret_secs": 0.0,
-                      "token_wait_secs": 0.0}
-                for idx, k0 in enumerate(range(0, self.n, slab)):
-                    a = arenas[idx % 2]
-                    tp = time.perf_counter()
-                    if tokens[idx % 2] is not None:
-                        tokens[idx % 2].block_until_ready()
-                    ph["token_wait_secs"] += time.perf_counter() - tp
-                    rows = self.order[k0:k0 + slab]
-                    tp = time.perf_counter()
-                    np.take(self.bank.regs, rows, axis=0, out=a[: len(rows)])
-                    ph["gather_secs"] += time.perf_counter() - tp
-                    tp = time.perf_counter()
-                    d_slab = jax.device_put(a[: len(rows)])
-                    ph["put_ret_secs"] += time.perf_counter() - tp
-                    buf, tokens[idx % 2] = _place_rows(buf, d_slab,
-                                                       jnp.int32(k0))
-                    ph["slabs"] += 1
-                self._d_regs = buf
+                ph = {}
+                self._d_regs = upload_sorted_rows(
+                    self.bank.regs, self.order, 0, self.n_pad,
+                    slab_bytes=getattr(self, "upload_slab_bytes",
+                                       128 << 20),
+                    stats=ph)
                 self.upload_stats = ph
-            # blocking on the placed-buffer computation output forces the
-            # whole chain (device_put itself is ASYNC through the relay:
-            # block_until_ready on a freshly-put array returns
-            # immediately - artifacts/r4/forensics.out round 0)
             self._d_regs.block_until_ready()
             self.upload_secs += time.perf_counter() - t0
             if self.upload_stats:
@@ -737,85 +854,13 @@ class ScreenPlan:
         confirm rate is set by fetches-per-pair, so chunks are large and
         fetches overlap the next batch's compute.
         """
-        from ..ops.estimators import hll_histogram
-        from ..ops.screen import original_from_s_z
-
-        p = self.bank.p
-        q = 64 - p
-        m = 1 << p
         if tau is None:
             tau = float(self.params.tau)
-        delta = float(self.params.screen_delta
-                      if reject_delta is None else reject_delta)
-        if reject_delta is None and p < 10:
-            # measured |t_orig/t_mle - 1| worst case: 0.019 (p=8), 0.024
-            # (p=10), 0.087 (p=6) - tiny-precision primaries get the aux
-            # margin so a false certain-reject is impossible there too
-            delta = max(delta, SCREEN_DELTA_AUX)
-        # f32 slop: s is a <= q+2-term f32 sum of exact products
-        # (c_k * 2^-k, both exactly representable), ~6e-6 relative; e1+e2
-        # rounds once. 1e-4 covers both with two orders to spare.
-        coef = np.float32((1.0 + delta) * (1.0 + 1e-4))
-        one_tau = np.float32(1.0 + tau)
-        out_t = jnp.int16 if p <= 14 else jnp.int32
-
-        @partial(jax.jit, static_argnames=("pp",))
-        def hist_flag(bank_regs, e, ii, kk, pp):
-            merged = jnp.maximum(bank_regs[ii], bank_regs[kk])
-            h = hll_histogram(merged.astype(jnp.int32), pp)  # (B, q+2) int
-            # exact-count f32 telescope: t_orig of the union
-            w = np.ldexp(np.ones(q + 2, np.float32),
-                         -np.arange(q + 2)).astype(np.float32)
-            s = jnp.sum(h.astype(jnp.float32) * w[None, :], axis=-1)
-            t_orig = original_from_s_z(s, h[:, 0].astype(jnp.float32), pp)
-            e_sum = e[ii] + e[kk]
-            # certain reject <=> J_mle <= (1+delta)(e1+e2)/t_orig - 1 < tau
-            reject = one_tau * t_orig > coef * e_sum
-            return h.astype(out_t), reject
-
-        def dispatch(ii, kk):
-            """Async: returns (pending device (hist, reject) pairs, nb)."""
-            nb = len(ii)
-            n_pad = -(-max(nb, 1) // chunk) * chunk
-            ip = np.pad(np.asarray(ii, np.int32), (0, n_pad - nb))
-            kp = np.pad(np.asarray(kk, np.int32), (0, n_pad - nb))
-            pending = [
-                hist_flag(self.d_regs, self.d_e,
-                          jnp.asarray(ip[c0:c0 + chunk]),
-                          jnp.asarray(kp[c0:c0 + chunk]), p)
-                for c0 in range(0, n_pad, chunk)
-            ]
-            return pending, nb
-
-        def fetch(handle):
-            pending, nb = handle
-            if one_tau <= 0.0:  # bound can never reject: plain hist fetch
-                return np.concatenate(
-                    [np.asarray(h) for h, _ in pending])[:nb]
-            # 1 byte/pair first; full (q+2)-bin rows only for survivors.
-            d_rej = (pending[0][1] if len(pending) == 1 else
-                     jnp.concatenate([r for _, r in pending]))
-            rej = np.asarray(d_rej)[:nb]
-            out = np.zeros((nb, q + 2), np.int32)
-            out[:, q + 1] = m  # sentinel: MLE inf -> jacc NaN -> dropped
-            surv = np.nonzero(~rej)[0]
-            if surv.size:
-                # one gathered fetch, survivor list padded to a pow2
-                # bucket so compiled shapes stay bounded
-                n_pad = max(8, 1 << int(surv.size - 1).bit_length())
-                sp = np.pad(surv, (0, n_pad - surv.size))
-                d_all = (pending[0][0] if len(pending) == 1 else
-                         jnp.concatenate([h for h, _ in pending]))
-                got = np.asarray(jnp.take(d_all, jnp.asarray(sp), axis=0))
-                out[surv] = got[: surv.size]
-            return out
-
-        def fn(ii, kk):
-            return fetch(dispatch(ii, kk))
-
-        fn.dispatch = dispatch
-        fn.fetch = fetch
-        return fn
+        delta = (reject_delta_for(self.bank.p, self.params.screen_delta)
+                 if reject_delta is None else float(reject_delta))
+        return make_device_hist_fn(
+            lambda: self.d_regs, lambda: self.d_e, self.bank.p, tau, delta,
+            chunk=chunk)
 
     def confirm(self, cand):
         """Cascade stage 3: exact host adjudication of the candidates.
