@@ -66,7 +66,7 @@ import jax.numpy as jnp
 
 from ..ops import criteria, screen
 from ..utils.hostref import PairOracle
-from .screened import (band_fingerprints, make_device_hist_fn,
+from .screened import (band_fingerprints_np, make_device_hist_fn,
                        reject_delta_for, screen_tau, upload_sorted_rows)
 
 
@@ -295,8 +295,7 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
                                                      params.tau)
         aux_p = np.zeros((n_pad, aux_s.shape[1]), aux_s.dtype)
         aux_p[:n] = aux_s
-        fp = np.asarray(band_fingerprints(jnp.asarray(aux_p), n_rows_b,
-                                          n_bands))
+        fp = band_fingerprints_np(aux_p, n_rows_b, n_bands)
     else:
         n_bands = 1
         fp = np.zeros((n_pad, 1), np.int32)

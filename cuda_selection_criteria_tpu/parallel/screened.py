@@ -103,6 +103,25 @@ def band_fingerprints(aux, n_rows, n_bands):
     return fp.astype(jnp.int32)
 
 
+def band_fingerprints_np(aux, n_rows, n_bands):
+    """Host twin of band_fingerprints, bit-identical (same FNV limb walk
+    in uint32 numpy). At bank scale this replaces shipping the full
+    (N, m) uint64 aux array to the device (131 MB at N=524k) with a
+    (N, n_bands) int32 put (16 MB): the fingerprint math is ~0.2 s of
+    host vector ops, well under the wire time it saves."""
+    aux = np.asarray(aux, np.uint64)
+    lo = (aux & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (aux >> np.uint64(32)).astype(np.uint32)
+    limbs = np.stack([lo, hi], -1).reshape(aux.shape[0], n_bands,
+                                           n_rows * 2)
+    fp = np.full(limbs.shape[:2], 2166136261, np.uint32)
+    mult = np.uint32(16777619)
+    with np.errstate(over="ignore"):
+        for k in range(n_rows * 2):
+            fp = (fp ^ limbs[..., k]) * mult
+    return fp.astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("p", "values", "ti", "n_bands",
                                    "use_cb", "use_smh"))
 def _screen_chunk(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
@@ -551,8 +570,8 @@ class ScreenPlan:
         if self.use_smh:
             n_rows_b, self.n_bands = criteria.smh_band_params(
                 bank.aux_param, params.tau)
-            self.d_fp = band_fingerprints(jnp.asarray(aux_p), n_rows_b,
-                                          self.n_bands)
+            self.d_fp = jnp.asarray(band_fingerprints_np(
+                aux_p, n_rows_b, self.n_bands))
         else:
             self.n_bands = 1
             self.d_fp = jnp.zeros((n_pad, 1), jnp.int32)

@@ -477,3 +477,19 @@ def test_device_hist_fn_negative_tau_never_rejects():
     ).confirm_pairs(pairs)
     assert want == got
     assert len(want) == len(pairs)  # every pair emitted at tau=-100
+
+
+def test_band_fingerprints_np_matches_device():
+    """The host FNV fingerprint twin must be bit-identical to the jnp
+    original for every (n_rows, n_bands) shape in use."""
+    from cuda_selection_criteria_tpu.parallel.screened import (
+        band_fingerprints, band_fingerprints_np)
+
+    rng = np.random.default_rng(7)
+    for n_rows, n_bands in ((4, 8), (2, 16), (8, 4), (1, 32)):
+        aux = rng.integers(0, 1 << 63, size=(37, n_rows * n_bands),
+                           dtype=np.uint64)
+        want = np.asarray(band_fingerprints(jnp.asarray(aux), n_rows,
+                                            n_bands))
+        got = band_fingerprints_np(aux, n_rows, n_bands)
+        np.testing.assert_array_equal(want, got)
