@@ -1,0 +1,77 @@
+"""Bit-plane register packing for host->device bank uploads.
+
+The HLL register alphabet of a real bank is tiny - a zero bin plus a band
+around log2(n/m), typically 10-20 distinct values (ops/screen.bank_values)
+- so 8-bit registers carry 4-6 bits of index. Through a bandwidth-starved
+host link (the axon tunnel swings 10-90 MiB/s - artifacts/r4/forensics.out)
+the upload is wire-bound, and shipping k bit-planes of the value INDEX
+instead of raw bytes cuts wire bytes to k/8 of dense (k = ceil(log2(
+len(values)))), on top of whatever the relay's own compression still finds
+(bit-planes of a skewed alphabet compress well).
+
+  pack:   host, numpy - idx = lut256[regs]; plane j = packbits of bit j
+          (little bit order), (S, k, R/8) uint8.
+  unpack: device, one jitted pass - bits regroup by broadcast shift/and
+          (static shapes, pure VPU), regs = table[idx] via jnp.take,
+          placed into the donated upload buffer.
+
+Roundtrip is bit-exact for any alphabet (tests/test_screen.py); decode
+cost is a few linear passes over the slab in HBM, noise next to the wire.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def plan_pack(values):
+    """(lut256, table, k) for a present-value alphabet, or None when
+    packing cannot save wire bytes (k >= 8).
+
+    lut256: uint8 value -> index map (absent values map to 0; callers
+    only feed values from the alphabet). table: uint8 (2^k,) index ->
+    value, zero-padded."""
+    vals = sorted(int(v) for v in values)
+    if not vals or vals[-1] > 255:
+        return None
+    k = max(1, int(np.ceil(np.log2(max(len(vals), 2)))))
+    if k >= 8:
+        return None
+    lut256 = np.zeros(256, np.uint8)
+    for i, v in enumerate(vals):
+        lut256[v] = i
+    table = np.zeros(1 << k, np.uint8)
+    table[: len(vals)] = vals
+    return lut256, table, k
+
+
+def pack_rows(rows, lut256, k, out=None):
+    """(S, R) uint8 registers -> (S, k, R//8) uint8 bit-planes (R must be
+    a multiple of 8; every HLL m = 2^p qualifies)."""
+    s, r = rows.shape
+    idx = lut256[rows]
+    if out is None:
+        out = np.empty((s, k, r // 8), np.uint8)
+    for j in range(k):
+        out[:, j] = np.packbits((idx >> j) & 1, axis=-1,
+                                bitorder="little")
+    return out
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("k",))
+def unpack_place(buf, packed, table, i0, k):
+    """Donated-buffer twin of screened._place_rows for packed slabs:
+    decode (S, k, R/8) planes to (S, R) uint8 via the value table and
+    place at row i0. Returns (buf, token) like _place_rows."""
+    s = packed.shape[0]
+    r8 = packed.shape[2]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    idx = jnp.zeros((s, r8 * 8), jnp.uint8)
+    for j in range(k):
+        bits = (packed[:, j, :, None] >> shifts) & jnp.uint8(1)
+        idx = idx | (bits.reshape(s, r8 * 8) << j)
+    rows = jnp.take(table, idx, axis=0)
+    out = jax.lax.dynamic_update_slice(buf, rows, (i0, jnp.int32(0)))
+    return out, out[i0, 0].astype(jnp.int32)

@@ -321,8 +321,13 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
 
     # present values are permutation-invariant: scan the UNSORTED bank so
     # no sorted host copy is ever built
+    values_all = screen.bank_values(bank.regs)
     values = screen.truncate_values(
-        screen.bank_values(bank.regs), float(e_s.max(initial=1.0)), bank.p)
+        values_all, float(e_s.max(initial=1.0)), bank.p)
+    from ..ops import regpack
+
+    pack_plan = (regpack.plan_pack(values_all)
+                 if jax.default_backend() != "cpu" else None)
     tau_scr = jnp.float32(screen_tau(tau, params.screen_delta))
     tau_cb = jnp.float32(tau * (1.0 - 1e-5))
     base = np.arange(n_dev, dtype=np.int32) * strip
@@ -349,7 +354,8 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
             key=lambda kv: kv[1][0].start or 0):
         lo = idx[0].start or 0
         shards.append(upload_sorted_rows(
-            bank.regs, order, lo, strip, device=dev, stats=upload_ph))
+            bank.regs, order, lo, strip, device=dev, stats=upload_ph,
+            pack=pack_plan))
     d_regs_global = jax.make_array_from_single_device_arrays(
         (n_pad, r_regs), sharding, shards)
     if stats is not None:

@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import criteria, screen
+from ..ops import criteria, regpack, screen
 from ..utils.hostref import PairOracle
 from . import scheduler
 
@@ -367,7 +367,7 @@ def _place_rows(buf, slab, i0):
 
 
 def upload_sorted_rows(bank_regs, order, lo, rows_out, device=None,
-                       slab_bytes=128 << 20, stats=None):
+                       slab_bytes=128 << 20, stats=None, pack=None):
     """Slab-pipelined upload of sorted bank rows [lo, lo+rows_out) to one
     device: (rows_out, R) uint8 array, rows past len(order) zero-padded.
 
@@ -378,7 +378,14 @@ def upload_sorted_rows(bank_regs, order, lo, rows_out, device=None,
     device buffer with one compiled dynamic_update_slice - device peak =
     buffer + one slab, and the gather of slab k+1 overlaps the wire
     transfer of slab k. Shared by the single-chip ScreenPlan upload and
-    the ring engine's per-device strip uploads (VERDICT r3 #4)."""
+    the ring engine's per-device strip uploads (VERDICT r3 #4).
+
+    pack: optional ops.regpack.plan_pack triple - ships k/8 of the dense
+    bytes as bit-planes of the value index and decodes on device
+    (bit-exact roundtrip; the win is wire time on a bandwidth-starved
+    link)."""
+    from ..ops import regpack
+
     r = bank_regs.shape[1]
     slab = max(1, slab_bytes // max(r, 1))
     ctx = jax.default_device(device) if device is not None else None
@@ -392,10 +399,17 @@ def upload_sorted_rows(bank_regs, order, lo, rows_out, device=None,
             return buf
         arenas = [np.empty((min(slab, count), r), np.uint8)
                   for _ in range(2)]
+        if pack is not None:
+            lut256, table, kbits = pack
+            d_table = jax.device_put(table, device)
+            packs = [np.empty((min(slab, count), kbits, r // 8), np.uint8)
+                     for _ in range(2)]
         tokens = [None, None]
         ph = stats if stats is not None else {}
         ph.setdefault("slabs", 0)
-        for key in ("gather_secs", "put_ret_secs", "token_wait_secs"):
+        ph["pack_bits"] = 0 if pack is None else kbits
+        for key in ("gather_secs", "put_ret_secs", "token_wait_secs",
+                    "pack_secs"):
             ph.setdefault(key, 0.0)
         for idx, k0 in enumerate(range(0, count, slab)):
             a = arenas[idx % 2]
@@ -407,6 +421,18 @@ def upload_sorted_rows(bank_regs, order, lo, rows_out, device=None,
             tp = time.perf_counter()
             np.take(bank_regs, rows, axis=0, out=a[: len(rows)])
             ph["gather_secs"] += time.perf_counter() - tp
+            if pack is not None:
+                tp = time.perf_counter()
+                pk = regpack.pack_rows(a[: len(rows)], lut256, kbits,
+                                       out=packs[idx % 2][: len(rows)])
+                ph["pack_secs"] += time.perf_counter() - tp
+                tp = time.perf_counter()
+                d_slab = jax.device_put(pk, device)
+                ph["put_ret_secs"] += time.perf_counter() - tp
+                buf, tokens[idx % 2] = regpack.unpack_place(
+                    buf, d_slab, d_table, jnp.int32(k0), kbits)
+                ph["slabs"] += 1
+                continue
             tp = time.perf_counter()
             d_slab = jax.device_put(a[: len(rows)], device)
             ph["put_ret_secs"] += time.perf_counter() - tp
@@ -608,8 +634,13 @@ class ScreenPlan:
         # Present values are permutation-invariant: scan the UNSORTED
         # bank so the lazy sorted copy stays untouched.
         max_card = float(self.e_s.max(initial=1.0))
-        self.values = screen.truncate_values(
-            screen.bank_values(bank.regs), max_card, bank.p)
+        values_all = screen.bank_values(bank.regs)
+        self.values = screen.truncate_values(values_all, max_card, bank.p)
+        # Bit-plane packed upload plan (ops/regpack): ships k/8 of the
+        # dense bank bytes through the wire-bound link; None when the
+        # alphabet is too wide to save anything. upload_pack attr
+        # overrides (True/False).
+        self._pack_plan = regpack.plan_pack(values_all)
         self.tau_scr = np.float32(screen_tau(self.tau, params.screen_delta))
         # CB margin: the screen divides in f32; relax by 1e-5 relative and
         # let the oracle apply the exact f64 comparison.
@@ -651,11 +682,15 @@ class ScreenPlan:
                 self._d_regs = jnp.asarray(rp)
             else:
                 ph = {}
+                want_pack = getattr(self, "upload_pack", None)
+                if want_pack is None:  # auto: only a wire-bound link wins
+                    want_pack = jax.default_backend() != "cpu"
                 self._d_regs = upload_sorted_rows(
                     self.bank.regs, self.order, 0, self.n_pad,
                     slab_bytes=getattr(self, "upload_slab_bytes",
                                        128 << 20),
-                    stats=ph)
+                    stats=ph,
+                    pack=self._pack_plan if want_pack else None)
                 self.upload_stats = ph
             self._d_regs.block_until_ready()
             self.upload_secs += time.perf_counter() - t0

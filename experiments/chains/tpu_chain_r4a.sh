@@ -78,6 +78,15 @@ else
   echo "ring131k rc=$?"; tail -1 "$R/ring131k.out"
 fi
 
+# re-probe between major phases: a mid-chain tunnel outage should stop
+# the chain (and let the watcher relaunch it) instead of serially timing
+# out every remaining step (observed 2026-08-19: tunnel died minutes
+# after a clean step-0 probe)
+timeout 240 python -u -c "
+import jax; assert jax.default_backend() != 'cpu'
+import jax.numpy as jnp; float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())
+" > /dev/null 2>&1 || { echo "TUNNEL DOWN mid-chain - stopping before step 7"; exit 2; }
+
 echo "=== 7. confirm throughput: worst-case + 90%-reject ==="
 timeout 2400 python -u experiments/confirm_throughput.py --chunk 32768 --batch 32768 \
   > "$R/confirm.out" 2> "$R/confirm.err"
@@ -89,6 +98,11 @@ echo "confirm_reject rc=$?"; tail -1 "$R/confirm_reject.out"
 echo "=== 8. Mosaic HTTP-500 repro matrix ==="
 timeout 2400 python -u experiments/mosaic_500_repro.py > "$R/mosaic.out" 2> "$R/mosaic.err"
 echo "mosaic rc=$?"; cat "$R/mosaic.out"
+
+timeout 240 python -u -c "
+import jax; assert jax.default_backend() != 'cpu'
+import jax.numpy as jnp; float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())
+" > /dev/null 2>&1 || { echo "TUNNEL DOWN mid-chain - stopping before step 9"; exit 2; }
 
 echo "=== 9. comparative CSV (host + tpu arms) ==="
 timeout 2400 python -u experiments/run_time_experiment.py -l /tmp/influenza_abs.txt \

@@ -493,3 +493,41 @@ def test_band_fingerprints_np_matches_device():
                                             n_bands))
         got = band_fingerprints_np(aux, n_rows, n_bands)
         np.testing.assert_array_equal(want, got)
+
+
+def test_regpack_roundtrip_and_packed_upload():
+    """Bit-plane packed upload must reproduce the dense path byte-exactly
+    for any present-value alphabet, including the sorted+padded layout."""
+    from cuda_selection_criteria_tpu.ops import regpack, screen as sc
+    from cuda_selection_criteria_tpu.parallel.screened import (
+        upload_sorted_rows)
+
+    rng = np.random.default_rng(77)
+    # alphabets of different widths (k = 1..6 bits) incl. value 0 absent
+    for vals in ([0, 3], [1, 2, 5, 9], list(range(0, 40, 3)),
+                 list(rng.choice(200, size=50, replace=False))):
+        vals = sorted(int(v) for v in vals)
+        plan = regpack.plan_pack(vals)
+        assert plan is not None
+        lut256, table, k = plan
+        rows = rng.choice(np.array(vals, np.uint8), size=(9, 256))
+        packed = regpack.pack_rows(rows, lut256, k)
+        buf = jnp.zeros((16, 256), jnp.uint8)
+        out, tok = regpack.unpack_place(buf, jnp.asarray(packed),
+                                        jnp.asarray(table),
+                                        jnp.int32(4), k)
+        np.testing.assert_array_equal(np.asarray(out)[4:13], rows)
+        assert not np.asarray(out)[:4].any()
+
+    # full upload path: packed == dense, including zero padding
+    regs = rng.choice(np.array([0, 2, 3, 7, 11], np.uint8),
+                      size=(37, 512))
+    order = rng.permutation(37)
+    plan = regpack.plan_pack(sc.bank_values(regs))
+    dense = np.asarray(upload_sorted_rows(regs, order, 0, 48,
+                                          slab_bytes=4096))
+    packed = np.asarray(upload_sorted_rows(regs, order, 0, 48,
+                                           slab_bytes=4096, pack=plan))
+    np.testing.assert_array_equal(dense, packed)
+    assert regpack.plan_pack(range(300)) is None  # >255 values
+    assert regpack.plan_pack(range(200)) is None  # k >= 8: no saving
