@@ -66,8 +66,9 @@ import jax.numpy as jnp
 
 from ..ops import criteria, screen
 from ..utils.hostref import PairOracle
-from .screened import (band_fingerprints_np, make_device_hist_fn,
-                       reject_delta_for, screen_tau, upload_sorted_rows)
+from .screened import (band_fingerprints_np, extract_hit_coords,
+                       make_device_hist_fn, reject_delta_for, screen_tau,
+                       upload_sorted_rows)
 
 
 def make_ring_fns(mesh, p, values, ti, strip, n_bands, use_cb, use_smh,
@@ -483,14 +484,14 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
             pos = 0
             for r_chunk, c_chunk, hits, _ in pending:
                 width = len(r_chunk)
-                ts = np.nonzero(counts[pos:pos + width * n_dev])[0]
+                cslice = counts[pos:pos + width * n_dev]
+                ts = np.nonzero(cslice)[0]
                 if ts.size:
-                    masks = jax.device_get(hits[jnp.asarray(ts)])
-                    for t, mask in zip(ts.tolist(), masks):
+                    for t, ri, cj in extract_hit_coords(
+                            hits, ts, cslice[ts], ti):
                         d = t // width
                         tl = t % width
                         src = (d - s) % n_dev
-                        ri, cj = np.nonzero(mask)
                         gi = d * strip + int(r_chunk[tl]) * ti + ri
                         gj = src * strip + int(c_chunk[tl]) * ti + cj
                         cand.extend(zip(gi.tolist(), gj.tolist()))

@@ -460,6 +460,39 @@ def reject_delta_for(p, screen_delta):
     return delta
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _hit_coords(hits, ts, k):
+    sub = jnp.take(hits, ts, axis=0)
+    ri, cj = jax.vmap(
+        lambda m: jnp.nonzero(m, size=k, fill_value=-1))(sub)
+    return jnp.stack([ri.astype(jnp.int32), cj.astype(jnp.int32)], 1)
+
+
+def extract_hit_coords(hits, ts, counts_ts, ti):
+    """[(tile_pos, rows, cols)] for the hit tiles of one dispatch chunk.
+
+    Device-side compaction: a vmapped fixed-size nonzero ships 8*K bytes
+    per hit tile instead of the raw ti^2 mask (1 MB at ti=1024 - the mask
+    fetch was the last per-candidate O(tile-area) transfer on the link).
+    K is the smallest pow2 covering the chunk's max per-tile count
+    (counts are already fetched); dense tiles (K beyond ti^2/16) fall
+    back to the mask fetch, which is smaller at that point."""
+    cmax = int(counts_ts.max())
+    if cmax > ti * ti // 16:
+        masks = jax.device_get(hits[jnp.asarray(np.asarray(ts))])
+        return [(int(t), *np.nonzero(m)) for t, m in zip(ts, masks)]
+    k = max(8, 1 << int(cmax - 1).bit_length()) if cmax > 1 else 8
+    h_pad = max(1, 1 << int(len(ts) - 1).bit_length()) if len(ts) > 1 else 1
+    tp = np.pad(np.asarray(ts, np.int32), (0, h_pad - len(ts)))
+    out = np.asarray(_hit_coords(hits, jnp.asarray(tp), k))
+    res = []
+    for i, t in enumerate(ts):
+        ri = out[i, 0]
+        good = ri >= 0
+        res.append((int(t), ri[good], out[i, 1][good]))
+    return res
+
+
 def make_device_hist_fn(get_regs, get_e, p, tau, delta, chunk=8192):
     """Standalone device-histogram provider with the certain-reject bound
     (shared by ScreenPlan.device_hist_fn and the ring engine's confirm).
@@ -861,12 +894,11 @@ class ScreenPlan:
                 span_cand = []
                 ts = np.nonzero(counts[pos:pos + width])[0]
                 if ts.size:
-                    # One gathered fetch per dispatch: a blocking fetch
-                    # costs ~28 ms through the tunnel, so per-hit-tile
-                    # fetches would pay that once per tile.
-                    masks = jax.device_get(hits[jnp.asarray(ts)])
-                    for t, mask in zip(ts.tolist(), masks):
-                        ri, cj = np.nonzero(mask)
+                    # One gathered compacted fetch per dispatch: a
+                    # blocking fetch costs ~28 ms through the tunnel, and
+                    # coordinates are ~8K bytes/tile vs the 1 MB mask.
+                    for t, ri, cj in extract_hit_coords(
+                            hits, ts, counts[pos:pos + width][ts], ti):
                         gi = r_chunk[t] * ti + ri
                         gj = c_chunk[t] * ti + cj
                         span_cand.extend(zip(gi.tolist(), gj.tolist()))
