@@ -419,4 +419,35 @@ int fastx_pair_union_hist(const uint8_t* regs, int64_t n_rows, int64_t m,
   });
 }
 
+// Bit-plane register packing for the host->device bank upload
+// (ops/regpack.py): rows -> value-index bit-planes, little bit order
+// within each byte (== np.packbits(bitorder="little")). One pass per
+// slab: each 8-register group is LUT'd into a u64 word and plane j's
+// byte falls out of the classic SWAR bit-gather multiply. out layout:
+// (s, k, r/8) C-contiguous. r must be a multiple of 8. n_threads rows
+// are split across the pool (the numpy form re-reads the slab k times
+// through this host's slow lazily-backed DRAM; this reads it once).
+int fastx_pack_bitplanes(const uint8_t* rows, int64_t s, int64_t r,
+                         const uint8_t* lut, int k, int n_threads,
+                         uint8_t* out) {
+  if (!rows || !lut || !out || s < 0 || r < 0 || (r & 7) || k < 1 || k > 7)
+    return -1;
+  const int64_t r8 = r / 8;
+  return batch_run((int)s, n_threads, [&](int b) {
+    const uint8_t* __restrict src = rows + (size_t)b * (size_t)r;
+    uint8_t* __restrict dst = out + (size_t)b * (size_t)k * (size_t)r8;
+    const uint64_t m1 = 0x0101010101010101ULL;
+    const uint64_t m2 = 0x0102040810204080ULL;
+    for (int64_t g = 0; g < r8; ++g) {
+      uint64_t w = 0;
+      for (int j = 0; j < 8; ++j)
+        w |= (uint64_t)lut[src[g * 8 + j]] << (8 * j);
+      for (int j = 0; j < k; ++j)
+        dst[(size_t)j * r8 + g] =
+            (uint8_t)((((w >> j) & m1) * m2) >> 56);
+    }
+    return 0;
+  });
+}
+
 }  // extern "C"

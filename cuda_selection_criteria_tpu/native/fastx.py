@@ -84,6 +84,16 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.fastx_pair_union_hist.restype = ctypes.c_int
+        lib.fastx_pack_bitplanes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.fastx_pack_bitplanes.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -199,4 +209,29 @@ def read_smh_batch(paths, m, threads=16):
     )
     if rc != 0:
         raise IOError(f"fastx_read_smh_batch failed: rc={rc}")
+    return out
+
+
+def pack_bitplanes(rows, lut256, k, out, threads=None):
+    """Bit-plane pack of uint8 register rows (ops/regpack layout) in one
+    native pass: out (S, k, R//8) uint8, little bit order. rows/out must
+    be C-contiguous; raises ImportError when the library is unbuilt."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("libfastx.so unavailable")
+    assert rows.flags.c_contiguous and out.flags.c_contiguous
+    if threads is None:
+        threads = min(8, os.cpu_count() or 1)
+    rc = lib.fastx_pack_bitplanes(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rows.shape[0],
+        rows.shape[1],
+        np.ascontiguousarray(lut256, np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)),
+        int(k),
+        threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError(f"fastx_pack_bitplanes failed: rc={rc}")
     return out

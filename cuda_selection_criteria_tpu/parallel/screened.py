@@ -404,6 +404,7 @@ def upload_sorted_rows(bank_regs, order, lo, rows_out, device=None,
             d_table = jax.device_put(table, device)
             packs = [np.empty((min(slab, count), kbits, r // 8), np.uint8)
                      for _ in range(2)]
+            pack_scratch = {}
         tokens = [None, None]
         ph = stats if stats is not None else {}
         ph.setdefault("slabs", 0)
@@ -424,7 +425,8 @@ def upload_sorted_rows(bank_regs, order, lo, rows_out, device=None,
             if pack is not None:
                 tp = time.perf_counter()
                 pk = regpack.pack_rows(a[: len(rows)], lut256, kbits,
-                                       out=packs[idx % 2][: len(rows)])
+                                       out=packs[idx % 2][: len(rows)],
+                                       scratch=pack_scratch)
                 ph["pack_secs"] += time.perf_counter() - tp
                 tp = time.perf_counter()
                 d_slab = jax.device_put(pk, device)
