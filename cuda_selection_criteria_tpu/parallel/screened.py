@@ -572,6 +572,9 @@ def make_device_hist_fn(get_regs, get_e, p, tau, delta, chunk=8192):
 
     fn.dispatch = dispatch
     fn.fetch = fetch
+    # consumers (PairOracle) assert their threshold is >= this one: a
+    # hist provider rejecting above the oracle's tau silently loses pairs
+    fn.tau = float(tau)
     return fn
 
 

@@ -289,6 +289,14 @@ class PairOracle:
         # one (the 32 KiB/pair register scan runs at HBM speed on the
         # accelerator; integer counts are exact there, so only the f64 MLE
         # stays on the host). None = numpy max-merge + bincount.
+        if hist_fn is not None and hasattr(hist_fn, "tau"):
+            # a histogram provider with a certain-reject bound above this
+            # oracle's threshold would silently lose pairs
+            if np.float32(hist_fn.tau) > np.float32(tau):
+                raise ValueError(
+                    f"hist_fn reject bound tau={hist_fn.tau} exceeds the "
+                    f"oracle's tau={tau}; pass the oracle's tau to "
+                    "device_hist_fn")
         self.hist_fn = hist_fn or (
             lambda ii, kk: pair_union_histograms(self.regs, ii, kk)
         )

@@ -36,4 +36,17 @@ echo "=== 3. bench rerun (best-of-reps) ==="
 timeout 1800 python bench.py > "$R/bench.out" 2> "$R/bench.err"
 echo "bench rc=$?"; cat "$R/bench.out"
 
+echo "=== 4. confirm worst-case (fixed tau coupling) ==="
+timeout 2400 python -u experiments/confirm_throughput.py --chunk 32768 --batch 32768 \
+  > "$R/confirm.out" 2> "$R/confirm.err"
+echo "confirm rc=$?"; tail -1 "$R/confirm.out"
+
+echo "=== 5. 131k steady-state rerun (native pack + coord compaction + warm compiles) ==="
+timeout 3600 python -u experiments/validate_131k_scale.py > "$R/scale131kC.out" 2> "$R/scale131kC.err"
+echo "131kC rc=$?"; tail -1 "$R/scale131kC.out"
+
+echo "=== 6. 524k steady-state rerun ==="
+timeout 7200 python -u experiments/validate_131k_scale.py --n 524288 > "$R/scale524kB.out" 2> "$R/scale524kB.err"
+echo "524kB rc=$?"; tail -1 "$R/scale524kB.out"
+
 echo "=== R4B DONE ==="

@@ -115,9 +115,12 @@ def main(argv=None):
 
     plan = ScreenPlan(bank, SelectionParams(tau=0.9, criterion="baseline"),
                       ti=512)
+    # tau=-100.0 here too: the reject bound must be driven by the
+    # ORACLE's threshold, not the plan's (PairOracle asserts this now)
     oracle_dev = PairOracle(p, plan.regs_s, plan.e_s, criterion="baseline",
                             tau=-100.0, apply_cb=False,
-                            hist_fn=plan.device_hist_fn(chunk=args.chunk))
+                            hist_fn=plan.device_hist_fn(chunk=args.chunk,
+                                                        tau=-100.0))
     # plan sorts by cardinality; cards here are already sorted+truncated,
     # so sorted positions == original positions and outputs are comparable.
     dev_rate, dev_out = timed(
