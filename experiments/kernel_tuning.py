@@ -29,9 +29,7 @@ def main(argv=None):
     ap.add_argument("--configs", default="512:auto:int8,1024:auto:int8,"
                                          "512:2048:int8,256:auto:int8",
                     help="comma list of ti:r_sub:precision[:flag...] - "
-                         "flags: 'deferred' (raw int32 CDF scratch "
-                         "accumulation, weighted combine at the last r "
-                         "step), 'fpbK' (truncate_values fp_band_log2=K; "
+                         "flags: 'fpbK' (truncate_values fp_band_log2=K; "
                          "default the library default), 'chunkK' (tiles "
                          "per dispatch; default 64 512x512-equivalents)")
     args = ap.parse_args(argv)
@@ -54,7 +52,6 @@ def main(argv=None):
         parts = cfg.split(":")
         ti_s, rsub_s, prec = parts[:3]
         flags = parts[3:]
-        deferred = "deferred" in flags
         fpb = next((int(f[3:]) for f in flags if f.startswith("fpb")), None)
         values = (screen.truncate_values(all_values, max_card, 14)
                   if fpb is None else
@@ -69,7 +66,7 @@ def main(argv=None):
         def raw_chunk_fn(bank_regs, r_tiles, c_tiles):
             s, zz = screen.screen_s_z(bank_regs, r_tiles, c_tiles, 14,
                                       values, ti=ti, tj=ti, r_sub=r_sub,
-                                      precision=prec, deferred=deferred)
+                                      precision=prec)
             tot = jnp.sum(s, dtype=jnp.float32)
             if zz is not None:
                 tot += jnp.sum(zz, dtype=jnp.float32)

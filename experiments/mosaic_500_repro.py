@@ -1,13 +1,21 @@
 """Minimal repro matrix for the Mosaic remote-compile HTTP 500s.
 
-Three screen-kernel variants die with `remote_compile: HTTP 500:
-tpu_compile_helper subprocess exit code 1` on this toolchain
-(artifacts/r3/chain5/ktune2.out): deferred scratch accumulation,
-r_sub >= 2048, and the int8c16 compare dtype. This probes each failing
-axis at the SMALLEST shape that exercises it, plus targeted workarounds
-(int32 scratch instead of int16, fewer telescope bins, r_sub exactly at
-the boundary), so the failure can be pinned to a toolchain limit or a
-fixable kernel property. One JSON line per config.
+Round-3 ktune had three screen-kernel variants dying with
+`remote_compile: HTTP 500: tpu_compile_helper subprocess exit code 1`.
+The round-4 matrix (`artifacts/r4/chain1/mosaic.out`) localized them:
+
+  - r_sub: NOT at fault - 1024/2048/4096 all compile (at any tile size
+    small enough for VMEM), so the r3 failures were the deferred-scratch
+    variant riding along in those configs;
+  - deferred scratch accumulation: compiles at <= 256x256 tiles, HTTP 500
+    at 512x512 (scratch + operands past what this Mosaic build handles);
+    256-tile shapes run ~2x below the ti=1024 optimum, so the variant was
+    RETIRED (ops/screen.py round 4) rather than kept dead;
+  - int8c16 (int16 compares) fails at EVERY shape - a toolchain limit;
+    the int4-indicator probe path was retired with it.
+
+What remains live is probed here so a toolchain upgrade is noticed: the
+r_sub boundary on the production kernel. One JSON line per config.
 
 Run serialized on the TPU tunnel: python experiments/mosaic_500_repro.py
 """
@@ -39,26 +47,14 @@ def main(argv=None):
     d = jnp.asarray(regs)
 
     cases = [
-        # control: the production kernel shape
         ("control_int8_512", dict(ti=512, tj=512, precision="int8")),
-        # axis 1: deferred scratch, smallest shape / fewest bins
-        ("deferred_256_4bins", dict(ti=256, tj=256, precision="int8",
-                                    deferred=True), small_values),
-        ("deferred_512", dict(ti=512, tj=512, precision="int8",
-                              deferred=True)),
-        ("deferred_128", dict(ti=128, tj=128, precision="int8",
-                              deferred=True), small_values),
-        # axis 2: r_sub boundary
+        ("control_int8_1024", dict(ti=1024, tj=1024, precision="int8")),
         ("rsub_1024", dict(ti=512, tj=512, precision="int8", r_sub=1024)),
         ("rsub_2048", dict(ti=512, tj=512, precision="int8", r_sub=2048)),
         ("rsub_2048_small_tile", dict(ti=128, tj=128, precision="int8",
                                       r_sub=2048), small_values),
         ("rsub_4096_small_tile", dict(ti=128, tj=128, precision="int8",
                                       r_sub=4096), small_values),
-        # axis 3: compare dtype
-        ("int8c16_512", dict(ti=512, tj=512, precision="int8c16")),
-        ("int8c16_128_4bins", dict(ti=128, tj=128, precision="int8c16"),
-         small_values),
     ]
 
     for case in cases:

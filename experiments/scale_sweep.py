@@ -28,7 +28,7 @@ def main(argv=None):
 
     bench._configure_jax()
     for n in args.sizes:
-        headline, raw, util, _ = bench.measure(n_genomes=n, reps=args.reps)
+        headline, raw, util = bench.measure(n_genomes=n, reps=args.reps)
         print(json.dumps({
             "n_genomes": n,
             "pairs_per_sec": round(headline, 1),

@@ -72,63 +72,6 @@ def test_screen_present_value_bins_are_exact():
     assert np.all(np.asarray(z_dense) == 0.0)
 
 
-def test_deferred_epilogue_matches_fused():
-    """The deferred-weighting kernel variant (raw int32 CDF scratch, one
-    weighted combine at the last r step - the TPU epilogue optimization)
-    must reproduce the fused variant: S to f32 summation order, Z
-    bit-exact. Runs both through true Pallas interpretation."""
-    import jax.numpy as jnp
-
-    p, r = 8, 256
-    rng = np.random.default_rng(11)
-    rows = jnp.asarray(np.array([0, 0, 1], np.int32))
-    cols = jnp.asarray(np.array([0, 1, 1], np.int32))
-    regs_zero = rng.integers(0, 13, size=(512, r), dtype=np.uint8)
-    regs_nozero = (regs_zero % 5 + 9).astype(np.uint8)
-    for regs in (regs_zero, regs_nozero):
-        vals = screen.bank_values(regs)
-        s_f, z_f = screen.screen_s_z(jnp.asarray(regs), rows, cols, p,
-                                     vals, ti=256, tj=256, interpret=True)
-        s_d, z_d = screen.screen_s_z(jnp.asarray(regs), rows, cols, p,
-                                     vals, ti=256, tj=256, interpret=True,
-                                     deferred=True)
-        np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_d),
-                                   rtol=1e-6)
-        if z_f is None:
-            assert z_d is None
-        else:
-            np.testing.assert_array_equal(np.asarray(z_f), np.asarray(z_d))
-
-
-def test_int16_compare_variant_matches_base():
-    """precision="int8c16" (int16 register compares instead of int32 - the
-    widen/compare VPU-cost probe for the v5e) must be indistinguishable
-    from the base kernel: same weights, same summation order, so S and Z
-    are both bit-exact. Runs through true Pallas interpretation."""
-    p, r = 8, 256
-    rng = np.random.default_rng(17)
-    rows = jnp.asarray(np.array([0, 0, 1], np.int32))
-    cols = jnp.asarray(np.array([0, 1, 1], np.int32))
-    regs_zero = rng.integers(0, 13, size=(512, r), dtype=np.uint8)
-    regs_nozero = (regs_zero % 5 + 9).astype(np.uint8)
-    for regs in (regs_zero, regs_nozero):
-        vals = screen.bank_values(regs)
-        for deferred in (False, True):
-            s_b, z_b = screen.screen_s_z(jnp.asarray(regs), rows, cols, p,
-                                         vals, ti=256, tj=256,
-                                         interpret=True, deferred=deferred)
-            s_c, z_c = screen.screen_s_z(jnp.asarray(regs), rows, cols, p,
-                                         vals, ti=256, tj=256,
-                                         interpret=True, deferred=deferred,
-                                         precision="int8c16")
-            np.testing.assert_array_equal(np.asarray(s_b), np.asarray(s_c))
-            if z_b is None:
-                assert z_c is None
-            else:
-                np.testing.assert_array_equal(np.asarray(z_b),
-                                              np.asarray(z_c))
-
-
 def test_original_from_s_z_matches_original_estimate():
     p = 10
     rng = np.random.default_rng(3)
