@@ -147,7 +147,52 @@ def make_ring_fns(mesh, p, values, ti, strip, n_bands, use_cb, use_smh,
         rot, mesh=mesh, in_specs=res_specs, out_specs=res_specs,
         check_vma=False,
     ))
-    return screen_step, rotate
+
+    def gate(regs_mine, aux_mine, e_mine, fp_mine, base_mine,
+             col_regs, col_aux, col_e, col_fp, col_base,
+             r_tiles, c_tiles, n_real, tau_cb):
+        return _ring_gate_counts(
+            e_mine, col_e, fp_mine, col_fp, base_mine[0], col_base[0],
+            r_tiles, c_tiles, n_real, tau_cb, n_bands, ti, use_cb,
+            use_smh)
+
+    gate_step = jax.jit(jax.shard_map(
+        gate,
+        mesh=mesh,
+        in_specs=res_specs + res_specs + (P(), P(), P(), P()),
+        out_specs=P("rows"),
+        check_vma=False,
+    ))
+    return screen_step, rotate, gate_step
+
+
+@partial(jax.jit, static_argnames=("n_bands", "ti", "use_cb", "use_smh"))
+def _ring_gate_counts(e_rows, e_cols, fp_rows, fp_cols, row_base, col_base,
+                      r_tiles, c_tiles, n_real, tau_cb, n_bands, ti,
+                      use_cb, use_smh):
+    """Strip-pair twin of screened._gate_counts: per-tile count of pairs
+    passing the cheap gates (triangle + real-row + CB + LSH fingerprint
+    equality) - pure VPU work, so dead tiles never pay for the MXU
+    kernel. Same conservative-superset contract as the screen gates."""
+    lane = jnp.arange(ti, dtype=jnp.int32)[None, :]
+    rl = r_tiles[:, None] * ti + lane
+    cl = c_tiles[:, None] * ti + lane
+    gi = row_base + rl
+    gj = col_base + cl
+    e_a = e_rows[rl]
+    e_b = e_cols[cl]
+    gate = (gi[:, :, None] < gj[:, None, :]) & (gj[:, None, :] < n_real)
+    gate &= e_b[:, None, :] > 0
+    if use_cb:
+        gate &= e_a[:, :, None] >= tau_cb * e_b[:, None, :]
+    if use_smh:
+        fa = fp_rows[rl]
+        fb = fp_cols[cl]
+        band_hit = fa[:, :, None, 0] == fb[:, None, :, 0]
+        for band in range(1, n_bands):
+            band_hit |= fa[:, :, None, band] == fb[:, None, :, band]
+        gate &= band_hit
+    return jnp.sum(gate, axis=(1, 2), dtype=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("p_aux", "ti"))
@@ -333,7 +378,7 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
     tau_cb = jnp.float32(tau * (1.0 - 1e-5))
     base = np.arange(n_dev, dtype=np.int32) * strip
 
-    screen_step, rotate = make_ring_fns(
+    screen_step, rotate, gate_step = make_ring_fns(
         mesh, bank.p, values, ti, strip, n_bands, use_cb, use_smh,
         aux=aux_spec)
 
@@ -446,6 +491,40 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
             if stats is not None:
                 stats["tiles_dispatched"] = (
                     stats.get("tiles_dispatched", 0) + n_tiles)
+            if n_tiles and (use_cb or use_smh):
+                # Stage-1 gate prune over the step's tile list (VPU only,
+                # one concatenated count fetch): tiles with no
+                # gate-passing pair on ANY device never pay for the MXU
+                # kernel - the screened engine's cascade stage 1, on the
+                # ring (the r4 chip run spent 66 s screening 32,896
+                # diagonal-step tiles of which ~130 were live).
+                gchunk = 512
+                gpend = []
+                for c0 in range(0, n_tiles, gchunk):
+                    pad = max(0, gchunk - (n_tiles - c0))
+                    r_g = np.pad(r_all[c0:c0 + gchunk], (0, pad),
+                                 constant_values=r_all[-1])
+                    c_g = np.pad(c_all[c0:c0 + gchunk], (0, pad),
+                                 constant_values=c_all[-1])
+                    gpend.append(gate_step(
+                        *resident, *circ, jnp.asarray(r_g),
+                        jnp.asarray(c_g), n_real, tau_cb))
+                gc = (np.asarray(gpend[0]) if len(gpend) == 1 else
+                      np.asarray(jnp.concatenate(gpend)))
+                live_mask = np.zeros(n_tiles, bool)
+                pos = 0
+                for c0 in range(0, n_tiles, gchunk):
+                    take = min(gchunk, n_tiles - c0)
+                    sub = gc[pos:pos + n_dev * gchunk].reshape(
+                        n_dev, gchunk)
+                    live_mask[c0:c0 + take] = sub[:, :take].any(0)
+                    pos += n_dev * gchunk
+                r_all = r_all[live_mask]
+                c_all = c_all[live_mask]
+                n_tiles = len(r_all)
+                if stats is not None:
+                    stats["tiles_gate_live"] = (
+                        stats.get("tiles_gate_live", 0) + n_tiles)
         if live and n_tiles:
             # Chunked dispatch with power-of-two remainder buckets
             # (repeat-padded, deduped at extraction) to bound the
