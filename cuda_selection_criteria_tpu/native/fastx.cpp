@@ -14,6 +14,8 @@
 //
 // Build: make -C cuda_selection_criteria_tpu/native   (g++ -O3 -shared -lz)
 
+#include <algorithm>
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <cstdlib>
@@ -417,6 +419,30 @@ int fastx_pair_union_hist(const uint8_t* regs, int64_t n_rows, int64_t m,
       tail += (uint64_t)h[0][v] + h[1][v] + h[2][v] + h[3][v];
     return tail ? -2 : 0;
   });
+}
+
+// Presence scan: out[v] = 1 iff byte value v occurs in the array. One
+// linear pass split across the pool (ops/screen.bank_values feeds the
+// telescope weights and the pack alphabet from this; the numpy chunked
+// scatter costs ~10x more wall on this host's slow DRAM at 8 GiB banks).
+int fastx_value_presence(const uint8_t* data, int64_t n, int n_threads,
+                         uint8_t* out256) {
+  if (!data || !out256 || n < 0) return -1;
+  std::memset(out256, 0, 256);
+  const int nt = n_threads < 1 ? 1 : n_threads;
+  std::vector<std::array<uint8_t, 256>> seen(nt);
+  for (auto& s : seen) s.fill(0);
+  const int64_t chunk = (n + nt - 1) / nt;
+  int rc = batch_run(nt, nt, [&](int t) {
+    const int64_t lo = (int64_t)t * chunk;
+    const int64_t hi = std::min(n, lo + chunk);
+    auto& s = seen[t];
+    for (int64_t i = lo; i < hi; ++i) s[data[i]] = 1;
+    return 0;
+  });
+  for (auto& s : seen)
+    for (int v = 0; v < 256; ++v) out256[v] |= s[v];
+  return rc;
 }
 
 // Bit-plane register packing for the host->device bank upload

@@ -94,6 +94,13 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.fastx_pack_bitplanes.restype = ctypes.c_int
+        lib.fastx_value_presence.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.fastx_value_presence.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -235,3 +242,24 @@ def pack_bitplanes(rows, lut256, k, out, threads=None):
     if rc != 0:
         raise ValueError(f"fastx_pack_bitplanes failed: rc={rc}")
     return out
+
+
+def value_presence(data, threads=None):
+    """(256,) bool: which byte values occur in the (contiguous uint8)
+    array - one native linear pass (ops/screen.bank_values backend)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("libfastx.so unavailable")
+    flat = data.reshape(-1)
+    assert flat.flags.c_contiguous and flat.dtype == np.uint8
+    if threads is None:
+        threads = min(8, os.cpu_count() or 1)
+    out = np.zeros(256, np.uint8)
+    rc = lib.fastx_value_presence(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        flat.size, threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError(f"fastx_value_presence failed: rc={rc}")
+    return out.astype(bool)

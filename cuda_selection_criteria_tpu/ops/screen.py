@@ -193,9 +193,18 @@ def bank_values(regs):
     """
     a = np.asarray(regs)
     if a.dtype == np.uint8:
-        # Single-pass presence scatter: np.unique sorts the full bank
-        # (minutes at 2 GiB of registers); a chunked boolean scatter is
-        # one linear read.
+        # Single-pass presence scan, native when built (the numpy chunked
+        # scatter re-streams the bank at ~100 MiB/s on this host's slow
+        # DRAM - it was the bulk of plan_secs at the 8 GiB 524k bank);
+        # np.unique would SORT the full bank (minutes).
+        if a.flags.c_contiguous:
+            try:
+                from ..native import fastx
+
+                present = fastx.value_presence(a)
+                return tuple(int(v) for v in np.nonzero(present)[0])
+            except (ImportError, OSError):
+                pass
         present = np.zeros(256, bool)
         flat = a.reshape(-1)
         step = 1 << 24
