@@ -27,4 +27,12 @@ echo "=== 3. ring 131k rerun (stage-1 gate prune) ==="
 timeout 5400 python -u experiments/validate_ring_scale.py > "$R/ring131k.out" 2> "$R/ring131k.err"
 echo "ring131k rc=$?"; tail -1 "$R/ring131k.out"
 
+echo "=== 4. hll-aux planted certification at the ti=1024 default ==="
+timeout 2400 python -u experiments/validate_hllaux_tpu.py > "$R/hllaux.out" 2> "$R/hllaux.err"
+echo "hllaux rc=$?"; tail -2 "$R/hllaux.out"
+
+echo "=== 5. 262k steady-state rerun ==="
+timeout 3600 python -u experiments/validate_131k_scale.py --n 262144 > "$R/scale262k.out" 2> "$R/scale262k.err"
+echo "262k rc=$?"; tail -1 "$R/scale262k.out"
+
 echo "=== R4D DONE ==="
