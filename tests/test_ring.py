@@ -120,3 +120,22 @@ def test_ring_hll_aux_matches_host(crit):
     ring = select_pairs_ring(bank, params, ti=32)
     assert _round(host) == _round(ring)
     assert len(ring) > 0
+
+
+def test_ring_gate_prune_kills_all_tiles_exactly():
+    """When the LSH fingerprint gate rejects every pair (all-distinct aux
+    buckets at high tau), the ring's per-step gate prune must drop every
+    tile - and the output must still equal the host reference (empty or
+    not) with stats proving the MXU kernel never ran."""
+    rng = np.random.default_rng(53)
+    bank = _make_bank(24, 10, 16, rng)
+    # make every aux row unique and band-distinct
+    bank.aux[:] = rng.integers(0, 1 << 63,
+                               size=bank.aux.shape, dtype=np.uint64)
+    params = SelectionParams(tau=0.9, criterion="smh_a")
+    host = select_pairs_host(bank, 0.9, "smh_a")
+    stats = {}
+    ring = select_pairs_ring(bank, params, ti=32, stats=stats)
+    assert _round(host) == _round(ring)
+    assert stats.get("tiles_gate_live", 0) == 0
+    assert stats["dispatches"] == 0  # no MXU screen work at all
