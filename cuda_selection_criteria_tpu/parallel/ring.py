@@ -410,9 +410,17 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
             k: (round(v, 2) if isinstance(v, float) else v)
             for k, v in upload_ph.items()}
 
-    d_e_global = jnp.asarray(e_p)
-    resident = (d_regs_global, jnp.asarray(aux_regs_p),
-                d_e_global, jnp.asarray(fp), jnp.asarray(base))
+    # Pin every resident strip array to its P("rows") sharding once so
+    # the per-step jits never re-scatter them (see the tile-sharded
+    # engine's replication note).
+    row1 = NamedSharding(mesh, P("rows"))
+    row2 = NamedSharding(mesh, P("rows", None))
+    d_e_global = jax.device_put(jnp.asarray(e_p), row1)
+    resident = (d_regs_global,
+                jax.device_put(jnp.asarray(aux_regs_p), row2),
+                d_e_global,
+                jax.device_put(jnp.asarray(fp), row2),
+                jax.device_put(jnp.asarray(base), row1))
     circ = resident  # step 0: each device vs its own strip
     n_real = jnp.int32(n)
     coef_j = jnp.float32(coef)

@@ -1138,19 +1138,34 @@ def select_pairs_screened_sharded(bank, params, mesh=None, ti=512, chunk=64,
         mesh, bank.p, plan.values, ti, plan.n_bands, plan.use_cb,
         plan.use_smh, aux=aux_spec,
     )
+    # Pin the replicated operands to their mesh sharding ONCE: a
+    # single-device-committed bank entering a shard_map jit would be
+    # re-broadcast on EVERY dispatch (8 GiB per chunk on a real pod);
+    # after this put the input sharding matches in_specs and dispatches
+    # are zero-copy.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl2 = NamedSharding(mesh, P(None, None))
+    repl1 = NamedSharding(mesh, P(None))
+    d_regs = jax.device_put(plan.d_regs, repl2)
+    d_e = jax.device_put(plan.d_e, repl1)
     if aux_spec is not None:
+        d_aux = jax.device_put(plan.d_aux_regs, repl2)
+
         def screen_fn(r_chunk, c_chunk):
             return step(
-                plan.d_regs, plan.d_aux_regs, jnp.asarray(r_chunk),
-                jnp.asarray(c_chunk), plan.d_e, jnp.int32(plan.n),
+                d_regs, d_aux, jnp.asarray(r_chunk),
+                jnp.asarray(c_chunk), d_e, jnp.int32(plan.n),
                 jnp.float32(plan.tau_scr), jnp.float32(plan.tau_cb),
                 plan.coef_aux,
             )
     else:
+        d_fp = jax.device_put(plan.d_fp, repl2)
+
         def screen_fn(r_chunk, c_chunk):
             return step(
-                plan.d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk),
-                plan.d_e, plan.d_fp, jnp.int32(plan.n),
+                d_regs, jnp.asarray(r_chunk), jnp.asarray(c_chunk),
+                d_e, d_fp, jnp.int32(plan.n),
                 jnp.float32(plan.tau_scr), jnp.float32(plan.tau_cb),
             )
 
