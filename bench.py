@@ -273,11 +273,14 @@ def measure(n_genomes=N_GENOMES, reps=3, items=ITEMS_PER_GENOME):
 
     float(jnp.stack(raw_dispatch()).sum())  # warmup / compile
     # Sustained-load raw protocol: all reps' kernel sweeps dispatched
-    # back-to-back (fresh tile permutation each), ONE blocking fetch of
-    # the stacked checksums drains the whole queue.
+    # back-to-back (fresh tile permutation each), then one blocking
+    # checksum fetch per sweep - the stack arity matches the warmup's,
+    # so nothing compiles inside the timed region (a 15-ary stack did,
+    # and torpedoed the first r4e capture to 4.6e8).
     t0 = time.perf_counter()
-    all_sums = [s for _ in range(reps) for s in raw_dispatch()]
-    float(jnp.stack(all_sums).sum())
+    handles = [raw_dispatch() for _ in range(reps)]
+    for h in handles:
+        float(jnp.stack(h).sum())
     raw_dt = (time.perf_counter() - t0) / reps
     # The schedule covers diagonal tiles too: count scheduled tile-pairs,
     # not triangle pairs, for the raw kernel rate.
