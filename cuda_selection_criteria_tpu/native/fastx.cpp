@@ -453,6 +453,21 @@ int fastx_value_presence(const uint8_t* data, int64_t n, int n_threads,
 // (s, k, r/8) C-contiguous. r must be a multiple of 8. n_threads rows
 // are split across the pool (the numpy form re-reads the slab k times
 // through this host's slow lazily-backed DRAM; this reads it once).
+static inline void pack_one_row(const uint8_t* __restrict src,
+                                uint8_t* __restrict dst,
+                                const uint8_t* __restrict lut, int k,
+                                int64_t r8) {
+  const uint64_t m1 = 0x0101010101010101ULL;
+  const uint64_t m2 = 0x0102040810204080ULL;
+  for (int64_t g = 0; g < r8; ++g) {
+    uint64_t w = 0;
+    for (int j = 0; j < 8; ++j)
+      w |= (uint64_t)lut[src[g * 8 + j]] << (8 * j);
+    for (int j = 0; j < k; ++j)
+      dst[(size_t)j * r8 + g] = (uint8_t)((((w >> j) & m1) * m2) >> 56);
+  }
+}
+
 int fastx_pack_bitplanes(const uint8_t* rows, int64_t s, int64_t r,
                          const uint8_t* lut, int k, int n_threads,
                          uint8_t* out) {
@@ -460,18 +475,30 @@ int fastx_pack_bitplanes(const uint8_t* rows, int64_t s, int64_t r,
     return -1;
   const int64_t r8 = r / 8;
   return batch_run((int)s, n_threads, [&](int b) {
-    const uint8_t* __restrict src = rows + (size_t)b * (size_t)r;
-    uint8_t* __restrict dst = out + (size_t)b * (size_t)k * (size_t)r8;
-    const uint64_t m1 = 0x0101010101010101ULL;
-    const uint64_t m2 = 0x0102040810204080ULL;
-    for (int64_t g = 0; g < r8; ++g) {
-      uint64_t w = 0;
-      for (int j = 0; j < 8; ++j)
-        w |= (uint64_t)lut[src[g * 8 + j]] << (8 * j);
-      for (int j = 0; j < k; ++j)
-        dst[(size_t)j * r8 + g] =
-            (uint8_t)((((w >> j) & m1) * m2) >> 56);
-    }
+    pack_one_row(rows + (size_t)b * (size_t)r,
+                 out + (size_t)b * (size_t)k * (size_t)r8, lut, k, r8);
+    return 0;
+  });
+}
+
+// Fused gather + pack: slab rows come straight out of the (unsorted)
+// bank by index - the separate np.take gather pass re-streamed the
+// whole slab through DRAM twice (read bank + write arena, then the
+// packer re-reads the arena); this reads each bank row once. idx: int64
+// sorted-order row indices, one per output slab row.
+int fastx_gather_pack_bitplanes(const uint8_t* bank, int64_t n_rows,
+                                int64_t r, const int64_t* idx, int64_t s,
+                                const uint8_t* lut, int k, int n_threads,
+                                uint8_t* out) {
+  if (!bank || !idx || !lut || !out || s < 0 || r < 0 || (r & 7) ||
+      k < 1 || k > 7)
+    return -1;
+  const int64_t r8 = r / 8;
+  return batch_run((int)s, n_threads, [&](int b) {
+    const int64_t row = idx[b];
+    if (row < 0 || row >= n_rows) return -3;
+    pack_one_row(bank + (size_t)row * (size_t)r,
+                 out + (size_t)b * (size_t)k * (size_t)r8, lut, k, r8);
     return 0;
   });
 }

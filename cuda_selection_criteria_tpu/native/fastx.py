@@ -101,6 +101,18 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.fastx_value_presence.restype = ctypes.c_int
+        lib.fastx_gather_pack_bitplanes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.fastx_gather_pack_bitplanes.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -263,3 +275,30 @@ def value_presence(data, threads=None):
     if rc != 0:
         raise ValueError(f"fastx_value_presence failed: rc={rc}")
     return out.astype(bool)
+
+
+def gather_pack_bitplanes(bank, idx, lut256, k, out, threads=None):
+    """Fused gather+pack: out[b] = bit-planes of lut256[bank[idx[b]]] in
+    one native pass (no intermediate gathered slab)."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("libfastx.so unavailable")
+    assert bank.flags.c_contiguous and out.flags.c_contiguous
+    idx = np.ascontiguousarray(idx, np.int64)
+    if threads is None:
+        threads = min(8, os.cpu_count() or 1)
+    rc = lib.fastx_gather_pack_bitplanes(
+        bank.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bank.shape[0],
+        bank.shape[1],
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(idx),
+        np.ascontiguousarray(lut256, np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)),
+        int(k),
+        threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError(f"fastx_gather_pack_bitplanes failed: rc={rc}")
+    return out

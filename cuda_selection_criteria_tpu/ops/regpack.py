@@ -102,6 +102,32 @@ def pack_rows(rows, lut256, k, out=None, scratch=None):
     return out
 
 
+def gather_pack_rows(bank, rows, lut256, k, out=None, scratch=None):
+    """pack_rows of bank[rows] without materializing the gathered slab:
+    the native fused gather+pack reads each bank row exactly once;
+    without the library it falls back to np.take + pack_rows (same
+    bytes, two extra DRAM streams)."""
+    if out is None:
+        out = np.empty((len(rows), k, bank.shape[1] // 8), np.uint8)
+    global _native_pack_broken
+    if (not _native_pack_broken and bank.flags.c_contiguous
+            and out.flags.c_contiguous):
+        try:
+            from ..native import fastx
+
+            return fastx.gather_pack_bitplanes(bank, rows, lut256, k, out)
+        except (ImportError, OSError):
+            _native_pack_broken = True
+    if scratch is None:
+        scratch = {}
+    ga = scratch.get("gather")
+    if ga is None or ga.shape[0] < len(rows) or ga.shape[1] != bank.shape[1]:
+        ga = scratch["gather"] = np.empty((len(rows), bank.shape[1]),
+                                          np.uint8)
+    np.take(bank, rows, axis=0, out=ga[: len(rows)])
+    return pack_rows(ga[: len(rows)], lut256, k, out=out, scratch=scratch)
+
+
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("k",))
 def unpack_place(buf, packed, table, i0, k):
     """Donated-buffer twin of screened._place_rows for packed slabs:

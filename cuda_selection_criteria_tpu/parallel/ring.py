@@ -499,6 +499,7 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
             if stats is not None:
                 stats["tiles_dispatched"] = (
                     stats.get("tiles_dispatched", 0) + n_tiles)
+            t_gate0 = time.perf_counter()
             if n_tiles and (use_cb or use_smh):
                 # Stage-1 gate prune over the step's tile list (VPU only,
                 # one concatenated count fetch): tiles with no
@@ -533,6 +534,11 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
                 if stats is not None:
                     stats["tiles_gate_live"] = (
                         stats.get("tiles_gate_live", 0) + n_tiles)
+                    # first step's wall includes the one-time gate
+                    # compile; later steps are steady state
+                    stats["gate_secs"] = round(
+                        stats.get("gate_secs", 0.0)
+                        + (time.perf_counter() - t_gate0), 2)
         if live and n_tiles:
             # Chunked dispatch with power-of-two remainder buckets
             # (repeat-padded, deduped at extraction) to bound the

@@ -419,14 +419,15 @@ def upload_sorted_rows(bank_regs, order, lo, rows_out, device=None,
                 tokens[idx % 2].block_until_ready()
             ph["token_wait_secs"] += time.perf_counter() - tp
             rows = order[lo + k0: lo + min(k0 + slab, count)]
-            tp = time.perf_counter()
-            np.take(bank_regs, rows, axis=0, out=a[: len(rows)])
-            ph["gather_secs"] += time.perf_counter() - tp
             if pack is not None:
+                # fused native gather+pack straight from the unsorted
+                # bank (one read per row; the two-step form streamed the
+                # slab through DRAM twice more)
                 tp = time.perf_counter()
-                pk = regpack.pack_rows(a[: len(rows)], lut256, kbits,
-                                       out=packs[idx % 2][: len(rows)],
-                                       scratch=pack_scratch)
+                pk = regpack.gather_pack_rows(
+                    bank_regs, rows, lut256, kbits,
+                    out=packs[idx % 2][: len(rows)],
+                    scratch=pack_scratch)
                 ph["pack_secs"] += time.perf_counter() - tp
                 tp = time.perf_counter()
                 d_slab = jax.device_put(pk, device)
@@ -435,6 +436,9 @@ def upload_sorted_rows(bank_regs, order, lo, rows_out, device=None,
                     buf, d_slab, d_table, jnp.int32(k0), kbits)
                 ph["slabs"] += 1
                 continue
+            tp = time.perf_counter()
+            np.take(bank_regs, rows, axis=0, out=a[: len(rows)])
+            ph["gather_secs"] += time.perf_counter() - tp
             tp = time.perf_counter()
             d_slab = jax.device_put(a[: len(rows)], device)
             ph["put_ret_secs"] += time.perf_counter() - tp
