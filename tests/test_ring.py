@@ -122,6 +122,28 @@ def test_ring_hll_aux_matches_host(crit):
     assert len(ring) > 0
 
 
+def test_ring_stats_compile_walls_split_from_steady_state():
+    """The gate/screen executables are warmed BEFORE the timed step loop
+    (a cold-cache chip run buried 137.8 s of one-time compile inside
+    gate_secs - artifacts/r4/chain7/ring262kB.out); stats must report the
+    compile walls separately and keep gate_secs/screen_secs disjoint
+    steady-state walls."""
+    rng = np.random.default_rng(11)
+    bank = _ladder_bank(256, rng, n_dups=8)
+    params = SelectionParams(tau=0.8, criterion="cb")
+    stats = {}
+    ring = select_pairs_ring(bank, params, ti=32, chunk_tiles=2,
+                             stats=stats)
+    host = select_pairs_host(bank, 0.8, "cb")
+    assert _round(host) == _round(ring)
+    assert stats["gate_compile_secs"] >= 0.0
+    assert stats["screen_compile_secs"] >= 0.0
+    # disjoint stage walls: the gate wall is subtracted from the loop
+    # wall, so both are non-negative and neither includes the other
+    assert stats["gate_secs"] >= 0.0
+    assert stats["screen_secs"] >= 0.0
+
+
 def test_ring_gate_prune_kills_all_tiles_exactly():
     """When the LSH fingerprint gate rejects every pair (all-distinct aux
     buckets at high tau), the ring's per-step gate prune must drop every
