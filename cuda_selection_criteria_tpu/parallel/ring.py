@@ -167,7 +167,43 @@ def make_ring_fns(mesh, p, values, ti, strip, n_bands, use_cb, use_smh,
         out_specs=P("rows"),
         check_vma=False,
     ))
-    return screen_step, rotate, gate_step
+
+    # Diagonal-step variants: step 0 screens each strip against ITSELF
+    # (circ is resident), but the general programs take the two strips as
+    # two separate parameters and XLA budgets HBM for both - at the 524k
+    # single-strip point that is 2 x 8 GiB and the compile dies with
+    # "Used 16.10G of 15.75G hbm" (artifacts/r4/chain8/ring524k.err).
+    # These take the strip ONCE, restoring the screened engine's
+    # single-bank memory footprint on the diagonal.
+    def step_diag(regs_mine, aux_mine, e_mine, fp_mine, base_mine,
+                  r_tiles, c_tiles, n_real, tau_scr, tau_cb, coef_aux):
+        return step(regs_mine, aux_mine, e_mine, fp_mine, base_mine,
+                    regs_mine, aux_mine, e_mine, fp_mine, base_mine,
+                    r_tiles, c_tiles, n_real, tau_scr, tau_cb, coef_aux)
+
+    screen_step_diag = jax.jit(jax.shard_map(
+        step_diag,
+        mesh=mesh,
+        in_specs=res_specs + (P(), P(), P(), P(), P(), P()),
+        out_specs=(P("rows"), P("rows")),
+        check_vma=False,
+    ))
+
+    def gate_diag(regs_mine, aux_mine, e_mine, fp_mine, base_mine,
+                  r_tiles, c_tiles, n_real, tau_cb):
+        return gate(regs_mine, aux_mine, e_mine, fp_mine, base_mine,
+                    regs_mine, aux_mine, e_mine, fp_mine, base_mine,
+                    r_tiles, c_tiles, n_real, tau_cb)
+
+    gate_step_diag = jax.jit(jax.shard_map(
+        gate_diag,
+        mesh=mesh,
+        in_specs=res_specs + (P(), P(), P(), P()),
+        out_specs=P("rows"),
+        check_vma=False,
+    ))
+    return (screen_step, rotate, gate_step, screen_step_diag,
+            gate_step_diag)
 
 
 @partial(jax.jit, static_argnames=("n_bands", "ti", "use_cb", "use_smh"))
@@ -382,7 +418,8 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
     tau_cb = jnp.float32(tau * (1.0 - 1e-5))
     base = np.arange(n_dev, dtype=np.int32) * strip
 
-    screen_step, rotate, gate_step = make_ring_fns(
+    (screen_step, rotate, gate_step, screen_step_diag,
+     gate_step_diag) = make_ring_fns(
         mesh, bank.p, values, ti, strip, n_bands, use_cb, use_smh,
         aux=aux_spec)
 
@@ -499,20 +536,32 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
     # the persistent cache - a cold-cache chip run measured 137.8 s of
     # gate-stage wall that was compile, not work
     # (artifacts/r4/chain7/ring262kB.out). Walls report separately and
-    # the step loop then times steady state. circ == resident at step 0,
-    # so tile (0,0) exercises exactly the shapes the loop dispatches.
+    # the step loop then times steady state. Step 0 is the diagonal
+    # (circ IS resident): warm the single-strip diag programs; the
+    # two-strip programs are warmed only when the mesh has off-diagonal
+    # steps (n_dev > 1), against a rotated throwaway copy - on a single
+    # device they would double the HBM footprint for nothing (the 524k
+    # OOM above).
     if use_cb or use_smh:
         r_w = jnp.zeros(RING_GATE_CHUNK, jnp.int32)
         t_w = time.perf_counter()
-        np.asarray(gate_step(*resident, *circ, r_w, r_w, n_real, tau_cb))
+        np.asarray(gate_step_diag(*resident, r_w, r_w, n_real, tau_cb))
+        if n_dev > 1:
+            np.asarray(gate_step(*resident, *rotate(*resident), r_w, r_w,
+                                 n_real, tau_cb))
         if stats is not None:
             stats["gate_compile_secs"] = round(
                 time.perf_counter() - t_w, 2)
     r_w = jnp.zeros(chunk_tiles, jnp.int32)
     t_w = time.perf_counter()
-    hits_w, counts_w = screen_step(
-        *resident, *circ, r_w, r_w, n_real, tau_scr, tau_cb, coef_j)
+    hits_w, counts_w = screen_step_diag(
+        *resident, r_w, r_w, n_real, tau_scr, tau_cb, coef_j)
     np.asarray(counts_w)
+    if n_dev > 1:
+        hits_w, counts_w = screen_step(
+            *resident, *rotate(*resident), r_w, r_w, n_real, tau_scr,
+            tau_cb, coef_j)
+        np.asarray(counts_w)
     del hits_w, counts_w
     if stats is not None:
         stats["screen_compile_secs"] = round(time.perf_counter() - t_w, 2)
@@ -521,6 +570,22 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
     gate_wall = 0.0
     t_screen0 = time.perf_counter()
     for s in range(n_dev):
+        # diagonal step: single-strip programs (the strip is ONE operand,
+        # not two - the two-strip programs double the HBM budget)
+        if s == 0:
+            def gate_call(r, c):
+                return gate_step_diag(*resident, r, c, n_real, tau_cb)
+
+            def screen_call(r, c):
+                return screen_step_diag(*resident, r, c, n_real, tau_scr,
+                                        tau_cb, coef_j)
+        else:
+            def gate_call(r, c, circ=circ):
+                return gate_step(*resident, *circ, r, c, n_real, tau_cb)
+
+            def screen_call(r, c, circ=circ):
+                return screen_step(*resident, *circ, r, c, n_real,
+                                   tau_scr, tau_cb, coef_j)
         live = [d for d in range(n_dev) if pair_live(d, (d - s) % n_dev)]
         if live:
             r_all, c_all = step_tiles(s, live)
@@ -544,9 +609,8 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
                                  constant_values=r_all[-1])
                     c_g = np.pad(c_all[c0:c0 + gchunk], (0, pad),
                                  constant_values=c_all[-1])
-                    gpend.append(gate_step(
-                        *resident, *circ, jnp.asarray(r_g),
-                        jnp.asarray(c_g), n_real, tau_cb))
+                    gpend.append(gate_call(jnp.asarray(r_g),
+                                           jnp.asarray(c_g)))
                 gc = (np.asarray(gpend[0]) if len(gpend) == 1 else
                       np.asarray(jnp.concatenate(gpend)))
                 live_mask = np.zeros(n_tiles, bool)
@@ -585,10 +649,8 @@ def select_pairs_ring(bank, params, mesh=None, ti=128, chunk_tiles=256,
                                  constant_values=r_all[-1])
                 c_chunk = np.pad(c_all[c0:c0 + take], (0, width - take),
                                  constant_values=c_all[-1])
-                hits, counts = screen_step(
-                    *resident, *circ, jnp.asarray(r_chunk),
-                    jnp.asarray(c_chunk), n_real, tau_scr, tau_cb, coef_j,
-                )
+                hits, counts = screen_call(jnp.asarray(r_chunk),
+                                           jnp.asarray(c_chunk))
                 pending.append((r_chunk, c_chunk, hits, counts))
                 if stats is not None:
                     stats["dispatches"] += 1
