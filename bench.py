@@ -18,10 +18,15 @@ at 760 GB/s HBM the union stage tops out at 760e9 / 32768 = 2.32e7 pairs/s.
 That DRAM-bound bound ignores the estimator math, so it flatters the
 reference; beating it by >10x is the BASELINE.json north star.
 
-Robustness (VERDICT round 1): the synthetic bank is cached to /tmp across
-runs, compiled executables persist in a jax compilation cache, and a
-transient TPU backend error triggers ONE re-exec after a backoff - so the
-driver's capture lands within its timeout even on a cold, flaky tunnel.
+Robustness (VERDICT rounds 1+4): the synthetic bank is cached to /tmp
+across runs and compiled executables persist in a jax compilation cache.
+The process splits into a supervising PARENT (deadline-aware tunnel
+probe loop, then a watchdog over the measurement) and a WORKER subprocess
+that writes its JSON to a result file headline-first - so a tunnel
+outage or a mid-measurement hang costs a retry or the optional ring key,
+never the capture: the parent always prints exactly one JSON line inside
+the CSC_BENCH_BUDGET_SECS window (default 30 min; round 4's three fixed
+probes gave up at ~11.5 min and zeroed the scoreboard).
 
 experiments/scale_sweep.py reuses build_synthetic_bank/measure for the
 throughput-vs-N table.
@@ -48,7 +53,13 @@ N_GENOMES = 16384
 ITEMS_PER_GENOME = 2048
 
 COMPILE_CACHE = "/tmp/csc_jax_compile_cache"
-RETRY_ENV = "CSC_BENCH_ATTEMPT"
+# Capture-window budget (seconds). The driver's real timeout is unknown;
+# 30 min is the conservative estimate (round 4's honest-outage line at
+# ~11.5 min was well inside it). The probe loop spends up to 80% of this
+# waiting for a tunnel up-window, leaving the rest for the (cache-warm)
+# measurement.
+BUDGET_ENV = "CSC_BENCH_BUDGET_SECS"
+START_ENV = "CSC_BENCH_START_EPOCH"
 
 # v5e int8 MXU peak: 394 TOPS (2x the 197 TFLOP/s bf16 peak).
 V5E_INT8_OPS_PER_SEC = 394e12
@@ -302,25 +313,33 @@ def measure(n_genomes=N_GENOMES, reps=3, items=ITEMS_PER_GENOME):
     return pairs_per_sec, raw_pairs_per_sec, mxu_util
 
 
-def _run():
-    pairs_per_sec, raw_pairs_per_sec, mxu_util = measure()
-    print(
-        json.dumps(
-            {
-                "metric": "pair_comparisons_per_sec_per_chip",
-                "value": round(pairs_per_sec, 1),
-                "unit": "pairs/s",
-                "vs_baseline": round(
-                    pairs_per_sec / CUDA_BASELINE_PAIRS_PER_SEC, 3
-                ),
-                "raw_kernel_pairs_per_sec": round(raw_pairs_per_sec, 1),
-                "raw_vs_baseline": round(
-                    raw_pairs_per_sec / CUDA_BASELINE_PAIRS_PER_SEC, 3
-                ),
-                "mxu_util": round(mxu_util, 3),
-            }
-        )
+def measure_ring(n_genomes=N_GENOMES):
+    """End-to-end ring-engine rate on the same synthetic bank, so the
+    bank-sharded engine's number is a driver-visible artifact (VERDICT
+    r4 next #4). Wall covers upload + gate + screen + confirm; the
+    one-time XLA/Mosaic compile walls report separately in the engine's
+    stats and are excluded (CLAUDE.md warm-executable discipline), like
+    the chain captures in BASELINE.md."""
+    from cuda_selection_criteria_tpu.models.bank import SketchBank
+    from cuda_selection_criteria_tpu.parallel.ring import select_pairs_ring
+    from cuda_selection_criteria_tpu.parallel.selection import SelectionParams
+
+    regs, aux, e = build_synthetic_bank(n_genomes)
+    bank = SketchBank(
+        names=[f"g{i:05d}" for i in range(n_genomes)],
+        regs=regs, cards=e.astype(np.float64),
+        aux_kind="smh", aux=aux, aux_param=M_SMH,
     )
+    params = SelectionParams(tau=TAU, criterion="smh_a",
+                             aux_bytes=M_SMH * 8)
+    stats = {}
+    t0 = time.perf_counter()
+    select_pairs_ring(bank, params, stats=stats)
+    wall = time.perf_counter() - t0
+    steady = wall - stats.get("gate_compile_secs", 0.0) \
+        - stats.get("screen_compile_secs", 0.0)
+    pairs = n_genomes * (n_genomes - 1) // 2
+    return pairs / max(steady, 1e-9)
 
 
 def _backend_answers(timeout=90.0):
@@ -345,50 +364,155 @@ def _backend_answers(timeout=90.0):
         return False
 
 
+def _budget_secs():
+    return float(os.environ.get(BUDGET_ENV, "1800"))
+
+
+def _start_epoch():
+    """Process-family start time: survives the one os.execv retry so the
+    budget clock never resets mid-capture."""
+    v = os.environ.get(START_ENV)
+    if v is None:
+        v = repr(time.time())
+        os.environ[START_ENV] = v
+    return float(v)
+
+
+def _elapsed():
+    return time.time() - _start_epoch()
+
+
 def _tunnel_waits():
-    """Probe-retry schedule: the tunnel FLAPS (r4 observed ~20-60 min
-    up-windows between outages); three spaced probes ride out a short
-    blip while staying well under the driver's capture window."""
-    for pause in (0.0, 180.0, 240.0):
-        if pause:
-            time.sleep(pause)
+    """Deadline-aware probe loop (VERDICT r4 next #1): the tunnel FLAPS
+    with ~20-60 min up-windows between outages, and round 4's three
+    fixed probes gave up after ~11.5 min - missing an up-window that
+    started mid-capture and zeroing the round's scoreboard. Now: probe
+    (90 s subprocess timeout each) every ~75 s until 80% of the capture
+    budget is spent, so a late up-window still gets measured; only then
+    emit the honest-outage line."""
+    probe_deadline = 0.80 * _budget_secs()
+    while True:
         if _backend_answers():
             return True
-    return False
+        remaining = probe_deadline - _elapsed()
+        if remaining <= 0:
+            return False
+        time.sleep(min(75.0, max(5.0, remaining)))
+
+
+def _worker(result_path):
+    """Measurement child: writes the headline JSON to result_path as soon
+    as it exists (the parent can emit it even if everything after hangs),
+    then upgrades the file with the ring key."""
+    _configure_jax()
+    pairs_per_sec, raw_pairs_per_sec, mxu_util = measure()
+    out = {
+        "metric": "pair_comparisons_per_sec_per_chip",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(
+            pairs_per_sec / CUDA_BASELINE_PAIRS_PER_SEC, 3
+        ),
+        "raw_kernel_pairs_per_sec": round(raw_pairs_per_sec, 1),
+        "raw_vs_baseline": round(
+            raw_pairs_per_sec / CUDA_BASELINE_PAIRS_PER_SEC, 3
+        ),
+        "mxu_util": round(mxu_util, 3),
+    }
+    _write_result(result_path, out)
+    # Ring-engine end-to-end rate (VERDICT r4 next #4): measured only
+    # when the headline is already on disk AND enough budget remains -
+    # the scoreboard value must never be risked on the extra key.
+    if _elapsed() < 0.62 * _budget_secs():
+        try:
+            ring_rate = measure_ring()
+            out["ring_pairs_per_sec"] = round(ring_rate, 1)
+            out["ring_vs_baseline"] = round(
+                ring_rate / CUDA_BASELINE_PAIRS_PER_SEC, 3)
+        except Exception as exc:  # noqa: BLE001 - extra key, never fatal
+            out["ring_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        _write_result(result_path, out)
+
+
+def _write_result(path, obj):
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(obj))
+    os.replace(tmp, path)
+
+
+def _read_result(path):
+    try:
+        with open(path) as f:
+            return json.loads(f.read())
+    except (OSError, ValueError):
+        return None
 
 
 def main():
-    # Probe-first (serialized: the probe exits before our own backend
-    # init); on persistent failure emit one honest JSON line so the
-    # driver's capture records the outage instead of timing out.
+    # Probe-first (serialized: the probe exits before any backend init in
+    # this process family); on persistent failure emit one honest JSON
+    # line so the driver's capture records the outage instead of timing
+    # out. After the probe succeeds, the measurement runs in a supervised
+    # WORKER subprocess: a tunnel drop mid-measurement then costs the
+    # ring extra or one retry, never the whole capture - the parent
+    # always prints exactly one JSON line before the budget runs out.
+    _start_epoch()
     if not _tunnel_waits():
         print(json.dumps({
             "metric": "pair_comparisons_per_sec_per_chip",
             "value": 0.0,
             "unit": "pairs/s",
             "vs_baseline": 0.0,
-            "error": "tpu backend unreachable (3 spaced probes hung); "
+            "error": "tpu backend unreachable (deadline-aware probes "
+                     f"for {0.8 * _budget_secs():.0f}s all hung); "
                      "no measurement taken",
         }))
         raise SystemExit(3)
-    _configure_jax()
-    attempt = int(os.environ.get(RETRY_ENV, "1"))
-    try:
-        _run()
-    except SystemExit:
-        raise
-    except Exception as exc:  # noqa: BLE001 - transient tunnel/backend faults
-        if attempt >= 2:
-            raise
-        print(
-            f"bench.py: attempt {attempt} failed with "
-            f"{type(exc).__name__}: {exc}; re-executing once after backoff",
-            file=sys.stderr,
+
+    import subprocess
+
+    result_path = f"/tmp/csc_bench_result_{os.getpid()}.json"
+    budget = _budget_secs()
+    last_err = "worker produced no result"
+    for attempt in (1, 2):
+        # Leave 30 s of parent slack; a retry needs a real window left.
+        remaining = budget - _elapsed() - 30.0
+        if remaining < 120.0 and attempt > 1:
+            break
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             result_path],
+            stdout=sys.stderr, stderr=sys.stderr,
         )
+        try:
+            rc = proc.wait(timeout=max(60.0, remaining))
+        except subprocess.TimeoutExpired:
+            proc.kill()  # exact PID we started, never a pattern
+            proc.wait()
+            rc = "timeout"
+        out = _read_result(result_path)
+        if out is not None:
+            if rc == "timeout" and "ring_pairs_per_sec" not in out:
+                out.setdefault(
+                    "ring_error", "worker killed at budget deadline")
+            print(json.dumps(out))
+            return
+        last_err = f"worker attempt {attempt} rc={rc}, no result file"
+        print(f"bench.py: {last_err}; retrying", file=sys.stderr)
         time.sleep(15.0)
-        os.environ[RETRY_ENV] = str(attempt + 1)
-        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+    print(json.dumps({
+        "metric": "pair_comparisons_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "pairs/s",
+        "vs_baseline": 0.0,
+        "error": f"measurement failed within budget: {last_err}",
+    }))
+    raise SystemExit(3)
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        _worker(sys.argv[sys.argv.index("--worker") + 1])
+    else:
+        main()

@@ -48,6 +48,9 @@ def main(argv=None):
                     help="sweep progress file: long runs resume here after "
                          "a fault instead of recomputing completed chunks")
     args = ap.parse_args(argv)
+    if args.block is not None and args.block <= 0:
+        print(f"Option -b invalid: block must be > 0 (got {args.block}).")
+        return 0
 
     if args.usage:
         print("Usage: -l -t -a -h -c")
@@ -83,7 +86,10 @@ def main(argv=None):
         tau=args.threshold,
         criterion=args.criterion,
         aux_bytes=args.aux_bytes,
-        block=args.block or 512,
+        # None (unset) falls back to 512 for the dense engines; the
+        # screened/ring engines receive args.block directly and apply
+        # their measured auto-rule when it is None.
+        block=512 if args.block is None else args.block,
         precision=args.precision,
     )
     from ..utils.resilience import run_with_transient_retry

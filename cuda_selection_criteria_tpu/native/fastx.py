@@ -24,7 +24,15 @@ def _load():
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.exists(_SO):
+        # Rebuild when missing OR stale: libfastx.so is a gitignored
+        # per-machine artifact, so after a pull it can predate fastx.cpp
+        # and lack newly added symbols (the Makefile's fastx.cpp
+        # dependency makes `make` a no-op when fresh).
+        src = os.path.join(_DIR, "fastx.cpp")
+        stale = (not os.path.exists(_SO)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(_SO) < os.path.getmtime(src)))
+        if stale:
             try:
                 subprocess.run(
                     ["make", "-C", _DIR, "-s"],
@@ -33,88 +41,99 @@ def _load():
                     timeout=120,
                 )
             except Exception:
-                return None
+                if not os.path.exists(_SO):
+                    return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
-        lib.fastx_read_codes.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.fastx_read_codes.restype = ctypes.c_int
-        lib.fastx_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
-        lib.fastx_free.restype = None
-        lib.fastx_build_sketches.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_uint,
-            ctypes.c_uint,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_uint,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_uint,
-            ctypes.POINTER(ctypes.c_uint64),
-        ]
-        lib.fastx_build_sketches.restype = ctypes.c_int64
-        lib.fastx_read_hll_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_uint,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.fastx_read_hll_batch.restype = ctypes.c_int
-        lib.fastx_read_smh_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_uint,
-            ctypes.POINTER(ctypes.c_uint64),
-        ]
-        lib.fastx_read_smh_batch.restype = ctypes.c_int
-        lib.fastx_pair_union_hist.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.fastx_pair_union_hist.restype = ctypes.c_int
-        lib.fastx_pack_bitplanes.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.fastx_pack_bitplanes.restype = ctypes.c_int
-        lib.fastx_value_presence.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.fastx_value_presence.restype = ctypes.c_int
-        lib.fastx_gather_pack_bitplanes.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.fastx_gather_pack_bitplanes.restype = ctypes.c_int
+        try:
+            _bind(lib)
+        except AttributeError:
+            # Stale .so without the full symbol set and no working
+            # toolchain to rebuild it: degrade to the numpy paths
+            # rather than crash callers' ImportError/OSError fallbacks.
+            return None
         _LIB = lib
         return _LIB
+
+
+def _bind(lib):
+    lib.fastx_read_codes.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fastx_read_codes.restype = ctypes.c_int
+    lib.fastx_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.fastx_free.restype = None
+    lib.fastx_build_sketches.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint,
+        ctypes.c_uint,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint,
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.fastx_build_sketches.restype = ctypes.c_int64
+    lib.fastx_read_hll_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_uint,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.fastx_read_hll_batch.restype = ctypes.c_int
+    lib.fastx_read_smh_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_uint,
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.fastx_read_smh_batch.restype = ctypes.c_int
+    lib.fastx_pair_union_hist.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fastx_pair_union_hist.restype = ctypes.c_int
+    lib.fastx_pack_bitplanes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.fastx_pack_bitplanes.restype = ctypes.c_int
+    lib.fastx_value_presence.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.fastx_value_presence.restype = ctypes.c_int
+    lib.fastx_gather_pack_bitplanes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.fastx_gather_pack_bitplanes.restype = ctypes.c_int
 
 
 def available():

@@ -82,8 +82,6 @@ def pack_rows(rows, lut256, k, out=None, scratch=None):
     tmp = scratch["tmp"][:s]
     iv = idx[:s]
     np.take(lut256, rows, out=iv)
-    if out is None:
-        out = np.empty((s, k, r // 8), np.uint8)
     # Bit-gather via u64 multiply: for each 8-value group (one LE u64
     # word u), bit j of each byte collects into one output byte as
     # ((u >> j) & 0x0101..) * 0x0102040810204080 >> 56 - cross terms

@@ -737,8 +737,12 @@ class ScreenPlan:
             self._d_regs.block_until_ready()
             self.upload_secs += time.perf_counter() - t0
             if self.upload_stats:
+                # wire wait = wall minus the host-side stages (gather OR
+                # pack fills depending on the path; token_wait is already
+                # wire time so it stays in)
                 self.upload_stats["wire_wait_secs"] = round(
                     self.upload_secs - self.upload_stats["gather_secs"]
+                    - self.upload_stats["pack_secs"]
                     - self.upload_stats["put_ret_secs"], 2)
         return self._d_regs
 

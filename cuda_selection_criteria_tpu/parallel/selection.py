@@ -65,8 +65,9 @@ class SelectionParams:
     # measured worst case (~2.5e-2 at p=14).
     screen_delta: float = 0.08
     # Engine choice: "auto" uses the fused Pallas screen engine on
-    # accelerator backends for the criteria it supports and this dense
-    # engine otherwise; "dense" / "screened" force one.
+    # accelerator backends (escalating to the bank-sharded ring engine
+    # past the multi-device replication threshold) and this dense engine
+    # otherwise; "dense" / "screened" / "ring" force one.
     engine: str = "auto"
 
     def resolve_dtype(self):
@@ -158,6 +159,19 @@ def _tile_hll_aux(regs_a, regs_b, aux_a, aux_b, e_a, e_b, idx_a, idx_b, tau,
 # --------------------------------------------------------------------------
 
 
+def _hbm_bytes_per_device():
+    """Per-device accelerator memory, for the auto-engine replication
+    threshold. memory_stats() is unavailable on some backends (and on
+    the CPU mesh); fall back to the v5e's 16 GB."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16 << 30
+
+
 def _pad_rows(arr, lo, hi, block, fill=0):
     """Slice rows [lo, hi) padded up to `block` rows."""
     sl = arr[lo:hi]
@@ -188,6 +202,21 @@ def select_pairs(bank, params, checkpoint=None):
             if supported and on_accel and params.adjudicate
             else "dense"
         )
+        # Past replication scale the bank itself must be sharded: when
+        # the (padded) register bank would not leave the single-device
+        # screened engine its working headroom (bank + upload slab +
+        # mask buffers), and a multi-device mesh is available, dispatch
+        # the ring systolic engine instead (VERDICT r4 next #4). The
+        # 8 GiB / 524k-genome point still fits one 16 GB v5e chip
+        # (measured, BASELINE.md), so the threshold sits above it.
+        if engine == "screened" and jax.device_count() > 1:
+            bank_bytes = bank.n * bank.regs.shape[1]
+            if bank_bytes > 0.55 * _hbm_bytes_per_device():
+                engine = "ring"
+    if engine == "ring":
+        from .ring import select_pairs_ring  # noqa: PLC0415 (cycle)
+
+        return select_pairs_ring(bank, params)
     if engine == "screened":
         from .screened import select_pairs_screened  # noqa: PLC0415 (cycle)
 

@@ -34,8 +34,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=131072)
     ap.add_argument("--tau", type=float, default=0.9)
-    ap.add_argument("--ti", type=int, default=512)
-    ap.add_argument("--chunk-tiles", type=int, default=64)
+    ap.add_argument("--ti", type=int, default=None)  # None = engine auto-rule
+    ap.add_argument("--chunk-tiles", type=int, default=None)
     args = ap.parse_args(argv)
 
     bench._configure_jax()
