@@ -335,6 +335,33 @@ def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
     return s + tail, z
 
 
+def mle_lower_bound(s, z, p):
+    """CERTIFIED lower bound of the ERTL-MLE cardinality from the screen
+    kernel's (S, Z) alone:
+
+        t_lb(s, z) = 2m(m - z) / (3s - z)  <=  t_mle   (always)
+
+    where s = sum_r 2^-reg_r and z = #zero registers of the union.
+    Unlike the ORIGINAL-estimator screen this inequality is a theorem,
+    not a measured deviation (DESIGN.md "Screen certificate"): t_lb is
+    the coth-bound root enclosure of the Poisson-MLE equation, it equals
+    Ertl's secant starting point when no register is saturated and lower-
+    bounds it otherwise, and the implemented secant only ever steps UP
+    (ops/estimators.ertl_mle; reference hll.h:629-688) - so the
+    implemented MLE can never fall below t_lb. Screening on
+    t_lb <= e_sum/(1+tau) therefore needs only a tiny numeric slack
+    (f32 rounding), not the old 8%/75% ORIGINAL-vs-MLE margins.
+
+    z=None means "no zero registers anywhere in the bank" (0 absent from
+    the present-value set). Conservative under the truncated telescope:
+    truncation only raises S, and t_lb is decreasing in S.
+    """
+    m = np.float32(1 << p)
+    if z is None:
+        return 2.0 * m * m / (3.0 * s)
+    return 2.0 * m * (m - z) / (3.0 * s - z)
+
+
 def original_from_s_z(s, z, p):
     """Flajolet ORIGINAL union-cardinality estimate from (S, Z), f32.
 

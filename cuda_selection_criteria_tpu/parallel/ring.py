@@ -239,13 +239,11 @@ def _ring_gate_counts(e_rows, e_cols, fp_rows, fp_cols, row_base, col_base,
 def _ring_aux_pass(s_a, z_a, e_rows, e_cols, r_tiles, c_tiles, coef_aux,
                    p_aux, ti):
     """Strip-pair variant of the hll-aux union gate
-    (screened._screen_chunk_hllaux): conservative threshold
-    t_aux <= coef*(e1+e2) + slack, division-free / separable."""
-    from ..ops.estimators import make_alpha
+    (screened._screen_chunk_hllaux): certified MLE lower bound vs the
+    threshold t_aux <= coef*(e1+e2) + slack, division-free."""
     from .screened import SCREEN_DELTA_AUX
 
-    m_a = 1 << p_aux
-    alpha_a = np.float32(make_alpha(m_a))
+    m_a = np.float32(1 << p_aux)
     lane = jnp.arange(ti, dtype=jnp.int32)[None, :]
     rl = r_tiles[:, None] * ti + lane
     cl = c_tiles[:, None] * ti + lane
@@ -254,16 +252,10 @@ def _ring_aux_pass(s_a, z_a, e_rows, e_cols, r_tiles, c_tiles, coef_aux,
     e_sum = e_a[:, :, None] + e_b[:, None, :]
     c32 = coef_aux.astype(jnp.float32)
     slack = np.float32(1.0 + SCREEN_DELTA_AUX)
-    aux_pass = (s_a * (e_sum * c32 + slack)
-                >= alpha_a * np.float32(m_a) * np.float32(m_a))
-    if z_a is not None:
-        v_i = jnp.exp(-c32 * e_a / m_a)
-        v_j = jnp.exp(-c32 * e_b / m_a)
-        v_slack = np.float32(np.exp(-float(slack) / m_a))
-        aux_pass |= (z_a > 0) & (
-            z_a >= m_a * v_slack * v_i[:, :, None] * v_j[:, None, :]
-        )
-    return aux_pass
+    thresh = e_sum * c32 + slack  # > 0 always (slack >= 1)
+    if z_a is None:
+        return 2.0 * m_a * m_a <= 3.0 * s_a * thresh
+    return 2.0 * m_a * (m_a - z_a) <= (3.0 * s_a - z_a) * thresh
 
 
 @partial(jax.jit, static_argnames=("p", "n_bands", "ti", "use_cb",
@@ -272,13 +264,10 @@ def _ring_post(s, z, e_rows, e_cols, fp_rows, fp_cols, row_base, col_base,
                r_tiles, c_tiles, n_real, tau_scr, tau_cb, p, n_bands, ti,
                use_cb, use_smh):
     """Strip-pair variant of screened._screen_post: identical gate and
-    ORIGINAL-estimator screen math, but rows/cols come from two different
-    strips with global offsets (row_base / col_base) for the triangle and
-    real-row masks. Same conservative-superset contract."""
-    from .. import ops
-
-    m = 1 << p
-    alpha = np.float32(ops.estimators.make_alpha(m))
+    certified-MLE-bound screen math, but rows/cols come from two
+    different strips with global offsets (row_base / col_base) for the
+    triangle and real-row masks. Same conservative-superset contract."""
+    m = np.float32(1 << p)
     one_tau = np.float32(1.0) + tau_scr.astype(jnp.float32)
 
     lane = jnp.arange(ti, dtype=jnp.int32)[None, :]
@@ -288,13 +277,12 @@ def _ring_post(s, z, e_rows, e_cols, fp_rows, fp_cols, row_base, col_base,
     gj = col_base + cl
     e_a = e_rows[rl]
     e_b = e_cols[cl]
-    u_a = jnp.exp(-e_a / (one_tau * m))
-    u_b = jnp.exp(-e_b / (one_tau * m))
 
     e_sum = e_a[:, :, None] + e_b[:, None, :]
-    hits = s * e_sum >= alpha * np.float32(m) * np.float32(m) * one_tau
-    if z is not None:
-        hits |= (z > 0) & (z >= m * u_a[:, :, None] * u_b[:, None, :])
+    if z is None:
+        hits = 3.0 * s * e_sum >= 2.0 * m * m * one_tau
+    else:
+        hits = (3.0 * s - z) * e_sum >= 2.0 * m * (m - z) * one_tau
 
     hits &= (gi[:, :, None] < gj[:, None, :]) & (gj[:, None, :] < n_real)
     hits &= e_b[:, None, :] > 0

