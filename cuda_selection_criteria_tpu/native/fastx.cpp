@@ -91,31 +91,64 @@ inline uint64_t wymum_fold(uint64_t a, uint64_t b) {
 }
 
 struct StreamScanner {
-  // Streaming FASTA state machine over decompressed bytes.
-  bool in_header = false;
+  // Streaming FASTA/FASTQ state machine over decompressed bytes.
+  // SeqAn's readRecord accepts both formats transparently (reference:
+  // src/build_sketch.cpp:56 via seq_io); '@' records are FASTQ, whose
+  // quality line is LENGTH-tracked (quality bytes may contain '@', '+'
+  // or base letters, so only counting bases parses them safely).
+  // Multi-line sequence in either format is supported.
+  enum State : uint8_t { SEQ, HEADER, PLUS, QUAL };
+  State state = SEQ;
   bool line_start = true;
+  bool fastq = false;      // current record is FASTQ ('@' header)
+  uint64_t seq_len = 0;    // bases seen in the current FASTQ record
+  uint64_t qual_left = 0;  // quality bytes still to consume
 
   template <typename Emit>
   void feed(const uint8_t* p, size_t n, Emit&& emit) {
     for (size_t i = 0; i < n; ++i) {
       uint8_t c = p[i];
-      if (in_header) {
-        if (c == '\n') {
-          in_header = false;
-          line_start = true;
-        }
-        continue;
+      switch (state) {
+        case HEADER:
+          if (c == '\n') {
+            state = SEQ;
+            line_start = true;
+          }
+          continue;
+        case PLUS:  // FASTQ '+' separator line: skip to newline
+          if (c == '\n') {
+            qual_left = seq_len;
+            state = qual_left ? QUAL : SEQ;
+            line_start = true;
+          }
+          continue;
+        case QUAL:  // exactly seq_len non-newline quality bytes
+          if (c == '\n' || c == '\r') continue;
+          if (--qual_left == 0) {
+            state = SEQ;
+            line_start = true;  // next non-newline char starts a header
+          }
+          continue;
+        case SEQ:
+          break;
       }
       if (c == '\n' || c == '\r') {
         line_start = (c == '\n') || line_start;
         continue;
       }
-      if (line_start && c == '>') {
-        in_header = true;
+      if (line_start && (c == '>' || c == '@')) {
+        state = HEADER;
+        fastq = (c == '@');
+        seq_len = 0;
         emit(kSentinel);  // record boundary resets the k-mer window
         continue;
       }
+      if (line_start && fastq && c == '+') {
+        state = PLUS;
+        continue;
+      }
       line_start = false;
+      if (fastq) ++seq_len;
       emit(kLut.map[c]);
     }
   }

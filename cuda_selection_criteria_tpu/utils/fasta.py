@@ -40,17 +40,34 @@ def _open_maybe_gzip(path):
 
 
 def fasta_codes_py(path):
-    """Pure-Python reader: FASTA file -> uint8 code array."""
+    """Pure-Python reader: FASTA or FASTQ file -> uint8 code array.
+
+    FASTQ records ('@' header) match SeqAn readRecord's transparent
+    format handling (reference: src/build_sketch.cpp:56): the quality
+    line is consumed by LENGTH (it may contain '@', '+' or base
+    letters), multi-line sequence in either format is concatenated."""
     chunks = [_SENT_ARR]
     with _open_maybe_gzip(path) as fh:
         buf = io.BufferedReader(fh, buffer_size=1 << 20)
+        fastq = False
+        seq_len = 0
+        qual_left = 0
         for line in buf:
             line = line.rstrip(b"\r\n")
+            if qual_left > 0:  # inside a FASTQ quality block
+                qual_left -= len(line)
+                continue
             if not line:
                 continue
-            if line.startswith(b">"):
+            if line.startswith(b">") or line.startswith(b"@"):
+                fastq = line.startswith(b"@")
+                seq_len = 0
                 chunks.append(_SENT_ARR)
                 continue
+            if fastq and line.startswith(b"+"):
+                qual_left = seq_len
+                continue
+            seq_len += len(line)
             chunks.append(_LUT[np.frombuffer(line, np.uint8)])
     if len(chunks) == 1:
         return np.zeros(0, np.uint8)
