@@ -313,17 +313,31 @@ def measure(n_genomes=N_GENOMES, reps=3, items=ITEMS_PER_GENOME):
     return pairs_per_sec, raw_pairs_per_sec, mxu_util
 
 
-def measure_ring(n_genomes=N_GENOMES):
-    """End-to-end ring-engine rate on the same synthetic bank, so the
+def measure_ring(n_genomes=None):
+    """End-to-end ring-engine rate on a synthetic bank AT SCALE, so the
     bank-sharded engine's number is a driver-visible artifact (VERDICT
     r4 next #4). Wall covers upload + gate + screen + confirm; the
     one-time XLA/Mosaic compile walls report separately in the engine's
     stats and are excluded (CLAUDE.md warm-executable discipline), like
-    the chain captures in BASELINE.md."""
+    the chain captures in BASELINE.md.
+
+    The ring engine exists for banks past replication scale, and its
+    fixed per-sweep costs amortize with N (measured 11.4x at 131k,
+    31.2x at 262k, 46.2x at 524k - BASELINE.md); measuring it at the
+    headline's 16k was a ~0.5x embarrassment that misrepresented the
+    engine. N picks the largest measured-tier size the remaining
+    capture budget affords (bank .npz caches in /tmp make the 2-4 GiB
+    banks cheap to load; the compile walls amortize via the persistent
+    cache across driver rounds)."""
     from cuda_selection_criteria_tpu.models.bank import SketchBank
     from cuda_selection_criteria_tpu.parallel.ring import select_pairs_ring
     from cuda_selection_criteria_tpu.parallel.selection import SelectionParams
 
+    if n_genomes is None:
+        left = 0.95 * _budget_secs() - _elapsed()
+        # measured totals incl. cold compile: 262k ~ 300 s, 131k ~ 150 s
+        n_genomes = (262144 if left > 420.0 else
+                     131072 if left > 240.0 else 32768)
     regs, aux, e = build_synthetic_bank(n_genomes)
     bank = SketchBank(
         names=[f"g{i:05d}" for i in range(n_genomes)],

@@ -105,6 +105,51 @@ def test_screen_tau_is_conservative():
     assert j_stat >= screen_tau(tau, delta) - 1e-12
 
 
+@pytest.mark.parametrize("use_cb,use_smh", [
+    (True, True), (True, False), (False, True), (False, False),
+])
+@pytest.mark.parametrize("with_zeros", [True, False])
+def test_fused_kernel_matches_post(use_cb, use_smh, with_zeros):
+    """The fully-fused Pallas screen (ops/screen.screen_hits_fused, the
+    accelerator path of screened._screen_chunk) must equal the two-pass
+    screen_s_z + _screen_post form bit-for-bit - same certificate
+    compare, same gates - checked in interpret mode."""
+    from cuda_selection_criteria_tpu.parallel.screened import (
+        _screen_post,
+        band_fingerprints,
+    )
+
+    p, ti, n = 8, 64, 192
+    rng = np.random.default_rng(31 + use_cb + 2 * use_smh)
+    lo = 0 if with_zeros else 2
+    regs = rng.integers(lo, 11, size=(n, 1 << p), dtype=np.uint8)
+    e = np.sort(rng.uniform(0, 5000, n)).astype(np.float32)
+    e[:3] = 0.0  # empty rows exercise the e_b > 0 mask
+    fp = np.asarray(band_fingerprints(
+        jnp.asarray(rng.integers(0, 1 << 63, size=(n, 16),
+                                 dtype=np.uint64)), 4, 4))
+    vals = screen.bank_values(regs)
+    rows = jnp.asarray(np.array([0, 0, 1, 2], np.int32))
+    cols = jnp.asarray(np.array([0, 2, 1, 2], np.int32))
+    n_real = jnp.int32(n - 5)  # also exercise the tail mask
+    tau_scr = jnp.float32(0.4)
+    tau_cb = jnp.float32(0.35)
+
+    got_h, got_c = screen.screen_hits_fused(
+        jnp.asarray(regs), rows, cols, jnp.asarray(e), jnp.asarray(fp),
+        n_real, tau_scr, tau_cb, p, vals, ti, 4, use_cb, use_smh,
+        interpret=True)
+    s, z = screen.screen_s_z(jnp.asarray(regs), rows, cols, p, vals,
+                             ti=ti, tj=ti)
+    want = _screen_post(s, z, jnp.asarray(e), jnp.asarray(fp), rows * ti,
+                        cols * ti, n_real, tau_scr, tau_cb, p, 4, ti, ti,
+                        use_cb, use_smh)
+    np.testing.assert_array_equal(
+        np.asarray(got_h).astype(bool), np.asarray(want))
+    np.testing.assert_array_equal(
+        np.asarray(got_c), np.asarray(want).sum((1, 2)))
+
+
 def _planted_items(n, rng, pool_size, cap=2560):
     """Per-genome item draws from a shared pool, padded to ONE static
     shape so the whole suite compiles each build kernel once (padding is
