@@ -335,25 +335,40 @@ def screen_s_z(regs, row_tiles, col_tiles, p, values, ti=512,
     return s + tail, z
 
 
-def _screen_fused_call(regs, regs_cols, row_tiles, col_tiles, e_r, e_c,
-                       gj_eff, e_cbc, fp_r, fp_c, p, weights,
-                       tail, ti, tj, r_sub, use_cb, use_smh, want_z,
-                       interpret):
-    """One fully-fused Pallas dispatch: telescope matmuls + certified
-    screen + gates, S/Z never leave VMEM.
+def _screen_fused_call(regs, regs_cols, row_tiles, col_tiles, e_r,
+                       e_c, gates, p, weights, tail, ti, tj,
+                       r_sub, want_z, interpret):
+    """One fused Pallas dispatch: telescope matmuls + certified screen,
+    S/Z never leaving VMEM; pre-gates ride in as an int8 mask.
 
-    Through round 4 the screen was two passes (S kernel [+ separate Z
-    kernel at ti=1024 where dual 4 MB output blocks blow VMEM] + an XLA
-    postprocess re-reading 8 MB/tile of S/Z) - the postprocess and the
-    Z pass were the whole headline-vs-raw gap (VERDICT r4 weak #2,
-    experiments/r5_gapprobe.py). Here S and Z live in VMEM *scratch*
-    (scratch doesn't double-buffer, so both fit at 1024x1024), the v=0
-    telescope matmul doubles as Z, and the epilogue applies the
-    certificate compare (3S-Z)(e1+e2) >= 2m(m-Z)(1+tau') plus the
-    triangle/CB/LSH gates in-register, writing only the int8 hit mask +
-    per-tile int32 count.
+    Through round 4 the screen was two passes (S kernel [+ a separate Z
+    kernel at ti=1024, where dual 4 MB output blocks blow VMEM] + an XLA
+    postprocess re-reading 8 MB/tile of S/Z) - the Z pass and the S/Z
+    round-trip were most of the headline-vs-raw gap (VERDICT r4 weak #2,
+    experiments/r5_gapprobe.py). Here S and Z accumulate in VMEM
+    *scratch* (scratch doesn't double-buffer, so both fit at 1024x1024),
+    the v=0 telescope matmul doubles as Z, and the epilogue applies the
+    certificate compare (3S-Z)(e1'+e2') >= 2m(m-Z), ANDs the staged gate
+    mask, and writes only the int8 hit mask + per-tile int32 counts.
 
-    Gate math mirrors parallel/screened._screen_post (the exact-output
+    TOOLCHAIN CONSTRAINTS (experiments/r5_mosaic_bisect*.py, 2026-08-19;
+    the remote compile helper usually hides Mosaic legalization errors
+    behind an opaque HTTP 500 - only one run surfaced the real message):
+      * int8 vector MULTIPLY fails to legalize on v5e ('arith.muli' on
+        vector<..xi8>' - confirmed error text), hence the gate AND is a
+        select, and the int8 gate mask enters precomputed;
+      * (1024, 512) operand blocks with the 8 MB S+Z scratch resident
+        fail; (1024, 256) compile (hence the halved r_sub budget);
+      * several in-kernel gate arrangements (lane<->sublane reshapes of
+        row vectors, f32-cast iota ids, width-5 int packs) also 500ed;
+        evaluating the gates in XLA around the kernel (they are plain
+        rank-1 vector math with no S/Z dependence) sidesteps the whole
+        class and costs one ti^2 int8 operand.
+    (1+tau_scr) is folded into e' host-side so the certificate constants
+    are static (no SMEM scalar operand). 5 operands + 2 outputs +
+    2 scratch.
+
+    The math mirrors parallel/screened._screen_post (the exact-output
     contract lives there and in DESIGN.md "Screen certificate");
     tests/test_screen.py::test_fused_kernel_matches_post checks
     equivalence bit-for-bit in interpret mode.
@@ -364,51 +379,17 @@ def _screen_fused_call(regs, regs_cols, row_tiles, col_tiles, e_r, e_c,
     n_tiles = row_tiles.shape[0]
     items = sorted(weights.items())
     n_last = n_r - 1
-    nbd = fp_r.shape[2] if use_smh else 0  # fp_r (T, ti, nbd)
-
     m_f = np.float32(1 << p)
 
-    def kernel(rows, cols, a_ref, b_ref, er_ref, ec_ref, gjeff_ref,
-               *rest):
-        it = iter(rest)
-        ecbc_ref = next(it) if use_cb else None
-        fpr_ref = next(it) if use_smh else None
-        fpc_ref = next(it) if use_smh else None
-        hits_ref = next(it)
-        cnt_ref = next(it)
-        s_acc = next(it)
-        z_acc = next(it) if want_z else None
-        g_acc = next(it)
-
-        t = pl.program_id(0)
+    def kernel(rows, cols, a_ref, b_ref, er_ref, ec_ref, g_ref, hits_ref,
+               cnt_ref, s_acc, *maybe_z):
         r = pl.program_id(1)
 
         @pl.when(r == 0)
         def _():
             s_acc[:] = jnp.zeros_like(s_acc)
             if want_z:
-                z_acc[:] = jnp.zeros_like(z_acc)
-            # The gates are r-independent: compute them HERE, staged in
-            # the hits output block (it lives in VMEM across the whole
-            # r loop), so no single program point carries the full
-            # epilogue op count - the one-shot epilogue Mosaic-500ed at
-            # 1024 tiles (experiments/r5_mosaic_bisect*.py).
-            # f32 global ids are exact for n < 2^24 (int iota -> f32:
-            # tpu.iota only emits integer vectors).
-            gi = (rows[t] * ti
-                  + jax.lax.broadcasted_iota(jnp.int32, (ti, 1), 0)
-                  ).astype(jnp.float32)
-            g = gi < gjeff_ref[0]
-            if use_cb:
-                g &= er_ref[0] >= ecbc_ref[0]
-            if use_smh:
-                fpr = fpr_ref[0]  # (ti, nbd) sublane-major rows
-                fpc = fpc_ref[0]  # (nbd, tj) lane-major cols
-                bh = fpr[:, 0:1] == fpc[0:1, :]
-                for band in range(1, nbd):
-                    bh |= fpr[:, band:band + 1] == fpc[band:band + 1, :]
-                g &= bh
-            g_acc[:] = g.astype(jnp.int8)
+                maybe_z[0][:] = jnp.zeros_like(maybe_z[0])
 
         a = a_ref[:].astype(jnp.int32)  # (ti, r_sub)
         b = b_ref[:].astype(jnp.int32)
@@ -421,27 +402,23 @@ def _screen_fused_call(regs, regs_cols, row_tiles, col_tiles, e_r, e_c,
             ).astype(jnp.float32)
             s_acc[:] += np.float32(w) * d
             if v == 0 and want_z:
-                z_acc[:] += d
+                maybe_z[0][:] += d
 
         @pl.when(r == n_last)
         def _():
             s = s_acc[:] + np.float32(tail)
-            # Row-side operands arrive SUBLANE-major ((1, ti, 1) /
-            # (1, ti, nbd) blocks), col-side LANE-major ((1, 1, tj) /
-            # (1, nbd, tj)): no in-kernel lane<->sublane transposes.
-            # The (1+tau_scr) factor is FOLDED into the e vectors
-            # (e' = e/(1+tau_scr), host side), so the certificate
-            # constants 2m^2 / 2m are static - no SMEM scalar input
-            # (the scal input was part of the Mosaic-500 op mix).
-            e_sum = er_ref[0] + ec_ref[0]  # (ti,1) + (1,tj), e' scale
+            # row side sublane-major (ti, 1), col side lane-major (1, tj)
+            e_sum = er_ref[0] + ec_ref[0]  # e' = e/(1+tau_scr) scale
             if want_z:
-                zz = z_acc[:]
-                h = (3.0 * s - zz) * e_sum >= 2.0 * m_f * m_f - \
-                    2.0 * m_f * zz
+                zz = maybe_z[0][:]
+                h = (3.0 * s - zz) * e_sum >= 2.0 * m_f * m_f \
+                    - 2.0 * m_f * zz
             else:
                 h = 3.0 * s * e_sum >= 2.0 * m_f * m_f
-            # certificate screen AND the staged gate mask (int8 multiply)
-            hi8 = h.astype(jnp.int8) * g_acc[:]
+            # AND the staged gates via select: v5e Mosaic cannot
+            # legalize int8 vector multiplies (arith.muli on i8 was
+            # the final Mosaic-500 - /tmp/fusedprobe.err 2026-08-19)
+            hi8 = jnp.where(h, g_ref[0], jnp.int8(0))
             hits_ref[0] = hi8
             # per-tile count, broadcast over the 128-lane row (Mosaic's
             # tiling rule rejects true scalar output blocks); f32 reduce
@@ -459,43 +436,21 @@ def _screen_fused_call(regs, regs_cols, row_tiles, col_tiles, e_r, e_c,
     def im_cols(t, r, rows, cols):
         return (cols[t].astype(jnp.int32), r)
 
-    def im_t(t, r, rows, cols):
-        return (t, jnp.int32(0))
-
     def im_t3(t, r, rows, cols):
         return (t, jnp.int32(0), jnp.int32(0))
 
-    def im_const(t, r, rows, cols):
-        return (jnp.int32(0),)
-
-    # Row-side vectors ride sublane-major ((T, ti, 1) / (T, ti, nbd)),
-    # col-side lane-major ((T, 1, tj) / (T, nbd, tj)): the trailing two
-    # block dims satisfy Mosaic's tiling rule in both layouts, and the
-    # epilogue's (ti,1) x (1,tj) broadcasts need no transposes.
     in_specs = [
         pl.BlockSpec((ti, r_sub), im_rows),
         pl.BlockSpec((tj, r_sub), im_cols),
         pl.BlockSpec((1, ti, 1), im_t3),
         pl.BlockSpec((1, 1, tj), im_t3),
-        pl.BlockSpec((1, 1, tj), im_t3),
+        pl.BlockSpec((1, ti, tj), im_t3),
     ]
-    operands = [regs, regs_cols, e_r[:, :, None], e_c[:, None, :],
-                gj_eff[:, None, :]]
-    if use_cb:
-        in_specs.append(pl.BlockSpec((1, 1, tj), im_t3))
-        operands.append(e_cbc[:, None, :])
-    if use_smh:
-        in_specs.append(pl.BlockSpec((1, ti, nbd), im_t3))
-        in_specs.append(pl.BlockSpec((1, nbd, tj), im_t3))
-        operands.extend([fp_r, fp_c])
+    operands = [regs, regs_cols, e_r[:, :, None], e_c[:, None, :], gates]
 
     scratch = [pltpu.VMEM((ti, tj), jnp.float32)]
     if want_z:
         scratch.append(pltpu.VMEM((ti, tj), jnp.float32))
-    # int8 gate stage (1 MB at 1024^2): gates live here between r==0 and
-    # the last step - writing them through the OUTPUT block and reading
-    # it back Mosaic-500ed (experiments/r5_mosaic_bisect4.py)
-    scratch.append(pltpu.VMEM((ti, tj), jnp.int8))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -519,8 +474,44 @@ def _screen_fused_call(regs, regs_cols, row_tiles, col_tiles, e_r, e_c,
     return hits, cnt[:, 0, 0]
 
 
-@partial(jax.jit, static_argnames=("p", "values", "ti", "n_bands",
-                                   "use_cb", "use_smh", "interpret"))
+@partial(jax.jit, static_argnames=("ti", "n_bands", "use_cb",
+                                   "use_smh"))
+def _fused_gates(row_tiles, col_tiles, e, fp, n_real, tau_scr, tau_cb,
+                 ti, n_bands, use_cb, use_smh):
+    """XLA half of the fused screen: e' vectors + staged int8 gates.
+
+    A SEPARATE jit from the Pallas program: one compiled unit holding
+    both the (T, ti, ti) broadcast gate ops and the Mosaic custom call
+    HTTP-500s in the remote compile helper at 1024-tiles, while each
+    half compiles alone (experiments/r5_mosaic_bisect*.py)."""
+    lane = jnp.arange(ti, dtype=jnp.int32)[None, :]
+    ii = row_tiles[:, None] * ti + lane  # (T, ti) global row ids
+    jj = col_tiles[:, None] * ti + lane
+    one_tau = jnp.float32(1.0) + tau_scr.astype(jnp.float32)
+    # e' = e/(1+tau_scr): folds the traced threshold into the data
+    # vectors so the kernel's certificate constants are static (one f32
+    # rounding, inside the delta slack).
+    e32 = e.astype(jnp.float32) / one_tau
+    e_r = e32[ii]
+    e_c = e32[jj]
+    # Gates (triangle, n_real tail, empty columns, CB, LSH bands) have no
+    # S/Z dependence; CB is scale-invariant so it rides the e' vectors.
+    # Comparisons mirror parallel/screened._screen_post exactly.
+    g = (ii[:, :, None] < jj[:, None, :]) & (jj[:, None, :] < n_real)
+    g &= e_c[:, None, :] > 0
+    if use_cb:
+        g &= e_r[:, :, None] >= tau_cb.astype(jnp.float32) \
+            * e_c[:, None, :]
+    if use_smh:
+        fp_a = fp[ii]  # (T, ti, n_bands) int32
+        fp_b = fp[jj]
+        band_hit = fp_a[:, :, None, 0] == fp_b[:, None, :, 0]
+        for band in range(1, n_bands):
+            band_hit |= fp_a[:, :, None, band] == fp_b[:, None, :, band]
+        g &= band_hit
+    return e_r, e_c, g.astype(jnp.int8)
+
+
 def screen_hits_fused(regs, row_tiles, col_tiles, e, fp, n_real, tau_scr,
                       tau_cb, p, values, ti, n_bands, use_cb, use_smh,
                       interpret=None):
@@ -537,7 +528,6 @@ def screen_hits_fused(regs, row_tiles, col_tiles, e, fp, n_real, tau_scr,
         interpret = _interpret_default()
     values = tuple(sorted(values))
     assert len(values) >= 2
-    m = np.float32(1 << p)
     tail = np.float32(np.ldexp(float(1 << p), -values[-1]))
     s_weights = {
         b: np.ldexp(1.0, -b) - np.ldexp(1.0, -values[i + 1])
@@ -549,34 +539,22 @@ def screen_hits_fused(regs, row_tiles, col_tiles, e, fp, n_real, tau_scr,
     # (1024, 512) operands Mosaic-500 on this toolchain, (1024, 256)
     # compile (experiments/r5_mosaic_bisect.py).
     r_sub = int(np.clip((1 << 18) // ti, 128, 1024))
+    e_r, e_c, g = _fused_gates(row_tiles, col_tiles, e, fp, n_real,
+                               tau_scr, tau_cb, ti, n_bands, use_cb,
+                               use_smh)
+    return _fused_screen_jit(
+        regs, row_tiles, col_tiles, e_r, e_c, g, p,
+        tuple(sorted(s_weights.items())), tail, ti, r_sub, want_z,
+        interpret)
 
-    lane = jnp.arange(ti, dtype=jnp.int32)[None, :]
-    ii = row_tiles[:, None] * ti + lane  # (T, ti) global row ids
-    jj = col_tiles[:, None] * ti + lane
-    one_tau = jnp.float32(1.0) + tau_scr.astype(jnp.float32)
-    # e' = e/(1+tau_scr): folds the traced threshold into the data
-    # vectors so the kernel's certificate constants are static (one f32
-    # rounding, inside the delta slack). The CB compare is
-    # scale-invariant, so it rides the same e' vectors.
-    e32 = e.astype(jnp.float32) / one_tau
-    e_r = e32[ii]
-    e_c = e32[jj]
-    e_cbc = (tau_cb.astype(jnp.float32) * e_c) if use_cb else None
-    if use_smh:
-        fp_r = fp[ii]  # (T, ti, nbd) int32, sublane-major rows
-        fp_c = jnp.transpose(fp[jj], (0, 2, 1))  # (T, nbd, tj) lane-major
-    else:
-        fp_r = fp_c = None
-    # Fold the triangle tail mask (gj < n_real) and the empty-column mask
-    # (e_b > 0) into the column-id vector: invalid columns get -2^30, so
-    # the kernel's single `gi < gj_eff` compare covers triangle + both.
-    valid_j = (jj < n_real) & (e_c > 0)
-    gj_eff = jnp.where(valid_j, jj.astype(jnp.float32),
-                       jnp.float32(-(2.0 ** 30)))
+
+@partial(jax.jit, static_argnames=("p", "witems", "tail", "ti", "r_sub",
+                                   "want_z", "interpret"))
+def _fused_screen_jit(regs, row_tiles, col_tiles, e_r, e_c, g, p, witems,
+                      tail, ti, r_sub, want_z, interpret):
     return _screen_fused_call(
-        regs, regs, row_tiles, col_tiles, e_r, e_c, gj_eff, e_cbc, fp_r,
-        fp_c, p, s_weights, tail, ti, ti, r_sub, use_cb, use_smh,
-        want_z, interpret)
+        regs, regs, row_tiles, col_tiles, e_r, e_c, g,
+        p, dict(witems), tail, ti, ti, r_sub, want_z, interpret)
 
 
 def mle_lower_bound(s, z, p):

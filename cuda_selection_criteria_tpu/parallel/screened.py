@@ -151,7 +151,10 @@ def _screen_chunk(regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,
     from ..ops import screen as screen_ops
     from ..ops.screen import screen_s_z
 
-    if (os.environ.get("CSC_FUSED_SCREEN") == "1"
+    # Default ON for accelerators (CSC_FUSED_SCREEN=0 restores the
+    # two-pass form); measured 1.02e9 vs 0.93e9 pairs/s on the v5e
+    # (experiments/r5_fused_probe.py, artifacts/r5).
+    if (os.environ.get("CSC_FUSED_SCREEN", "1") == "1"
             and not screen_ops._interpret_default() and len(values) >= 2):
         return screen_ops.screen_hits_fused(
             regs, r_tiles, c_tiles, e, fp, n_real, tau_scr, tau_cb,

@@ -78,6 +78,10 @@ def write_fasta_gz(path, name, seq):
 def synthesize(workdir, n, n_big, rng):
     """n small genomes in planted clusters + n_big multi-megabase genomes.
 
+    Side effect: synthesize.total_bases accumulates the corpus base count
+    (the mutate arrays are computed even when files are disk-cached), so
+    the harness can report build MBases/s (VERDICT r4 #5).
+
     Cluster structure: bases drawn from the 10 influenza genomes; members
     of a cluster mutate the same concatenated base at <= 0.015% (the
     corpora are highly repetitive, so mutations ADD distinct k-mers
@@ -102,6 +106,7 @@ def synthesize(workdir, n, n_big, rng):
             if not os.path.exists(f):
                 write_fasta_gz(f, f"g{gi:05d}", g)
             files.append(f)
+            synthesize.total_bases += g.size
             gi += 1
     # multi-megabase genomes: > the 4M-code pack budget -> chunked path.
     for b in range(n_big):
@@ -125,6 +130,7 @@ def synthesize(workdir, n, n_big, rng):
                              0.00005, rng)
             write_fasta_gz(f, f"big{b:02d}", big)
         files.append(f)
+        synthesize.total_bases += big.size
     return files
 
 
@@ -163,7 +169,9 @@ def main(argv=None):
 
     rng = np.random.default_rng(0xC0FFEE)
     t0 = time.perf_counter()
+    synthesize.total_bases = 0
     files = synthesize(args.workdir, args.n, args.big, rng)
+    total_mbases = synthesize.total_bases / 1e6
     t_synth = time.perf_counter() - t0
     total_mb = sum(os.path.getsize(f) for f in files) / 1e6
     print(f"corpus: {len(files)} genomes, {total_mb:.1f} MB gz, "
@@ -179,8 +187,8 @@ def main(argv=None):
         bank.write_sketch_files()
     t_build = time.perf_counter() - t0
     print(f"build: {t_build:.1f}s "
-          f"({sum(os.path.getsize(f) * 4 for f in files) / 1e6 / t_build:.1f}"
-          f" MB-equiv/s)", flush=True)
+          f"({total_mbases / t_build:.1f} MBases/s over "
+          f"{total_mbases:.0f} MBases)", flush=True)
 
     # Persistence roundtrip at scale: reload from the reference-format
     # sketch files and require identical arrays.
@@ -220,6 +228,8 @@ def main(argv=None):
         "pairs": len(got),
         "big_genome_pairs": len(big_pairs),
         "build_secs": round(t_build, 1),
+        "build_mbases_per_sec": round(total_mbases / t_build, 2),
+        "build_over_select": round(t_build / max(t_select, 1e-9), 2),
         "select_secs": round(t_select, 1),
         "host_reference_secs": round(t_host, 1),
         "exact_match": True,
