@@ -557,6 +557,60 @@ def _fused_screen_jit(regs, row_tiles, col_tiles, e_r, e_c, g, p, witems,
         p, dict(witems), tail, ti, ti, r_sub, want_z, interpret)
 
 
+def screen_hits_fused_strips(regs_rows, regs_cols, r_tiles, c_tiles,
+                              e_rows, e_cols, fp_rows, fp_cols, row_base,
+                              col_base, n_real, tau_scr, tau_cb, p,
+                              values, ti, n_bands, use_cb, use_smh,
+                              interpret=None):
+    """Strip-pair fused screen for the ring engine: (int8 hits, counts).
+
+    Same single-Pallas-pass structure as screen_hits_fused, but rows and
+    columns come from two DIFFERENT strips (resident vs circulating) with
+    global offsets row_base/col_base; r_tiles/c_tiles are LOCAL tile
+    indices within each strip. Gates mirror parallel/ring._ring_post
+    exactly (equivalence interpret-tested in tests/test_ring.py).
+    Called inside the ring's shard_map step - the XLA gate ops and the
+    Mosaic call share one program, which compiles (the engine-path probe,
+    artifacts/r5/engine_fused_probe.out).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    values = tuple(sorted(values))
+    assert len(values) >= 2
+    tail = np.float32(np.ldexp(float(1 << p), -values[-1]))
+    s_weights = {
+        b: np.ldexp(1.0, -b) - np.ldexp(1.0, -values[i + 1])
+        for i, b in enumerate(values[:-1])
+    }
+    want_z = values[0] == 0
+    r_sub = int(np.clip((1 << 18) // ti, 128, 1024))
+
+    lane = jnp.arange(ti, dtype=jnp.int32)[None, :]
+    rl = r_tiles[:, None] * ti + lane  # (C, ti) local strip rows
+    cl = c_tiles[:, None] * ti + lane
+    gi = row_base + rl                 # global ids
+    gj = col_base + cl
+    one_tau = jnp.float32(1.0) + tau_scr.astype(jnp.float32)
+    e_r = e_rows.astype(jnp.float32)[rl] / one_tau  # e' scale
+    e_c = e_cols.astype(jnp.float32)[cl] / one_tau
+    g = (gi[:, :, None] < gj[:, None, :]) & (gj[:, None, :] < n_real)
+    g &= e_c[:, None, :] > 0
+    if use_cb:
+        g &= e_r[:, :, None] >= tau_cb.astype(jnp.float32) \
+            * e_c[:, None, :]
+    if use_smh:
+        fa = fp_rows[rl]  # (C, ti, n_bands) int32
+        fb = fp_cols[cl]
+        band_hit = fa[:, :, None, 0] == fb[:, None, :, 0]
+        for band in range(1, n_bands):
+            band_hit |= fa[:, :, None, band] == fb[:, None, :, band]
+        g &= band_hit
+    return _screen_fused_call(
+        regs_rows, regs_cols, r_tiles, c_tiles, e_r, e_c,
+        g.astype(jnp.int8), p, s_weights, tail, ti, ti, r_sub, want_z,
+        interpret)
+
+
 def mle_lower_bound(s, z, p):
     """CERTIFIED lower bound of the ERTL-MLE cardinality from the screen
     kernel's (S, Z) alone:

@@ -100,6 +100,28 @@ def make_ring_fns(mesh, p, values, ti, strip, n_bands, use_cb, use_smh,
     def step(regs_mine, aux_mine, e_mine, fp_mine, base_mine,
              col_regs, col_aux, col_e, col_fp, col_base,
              r_tiles, c_tiles, n_real, tau_scr, tau_cb, coef_aux):
+        import os
+
+        if (os.environ.get("CSC_FUSED_SCREEN", "1") == "1"
+                and not screen._interpret_default() and len(values) >= 2):
+            # Single-Pallas-pass screen (S/Z in VMEM scratch, no Z pass,
+            # no S/Z materialization): +15% measured on the replicated
+            # engine (ops/screen.screen_hits_fused_strips; DESIGN.md).
+            h, cnt = screen.screen_hits_fused_strips(
+                regs_mine, col_regs, r_tiles, c_tiles, e_mine, col_e,
+                fp_mine, col_fp, base_mine[0], col_base[0], n_real,
+                tau_scr, tau_cb, p, values, ti, n_bands, use_cb, use_smh)
+            if aux is not None:
+                s_a, z_a = screen.screen_s_z(
+                    aux_mine, r_tiles, c_tiles, p_aux, values_aux, ti=ti,
+                    tj=ti, regs_cols=col_aux,
+                )
+                ap = _ring_aux_pass(s_a, z_a, e_mine, col_e, r_tiles,
+                                    c_tiles, coef_aux, p_aux, ti)
+                h = jnp.where(ap, h, jnp.int8(0))
+                cnt = jnp.sum(h.astype(jnp.int32), axis=(1, 2),
+                              dtype=jnp.int32)
+            return h, cnt
         ss, zz = screen.screen_s_z(
             regs_mine, r_tiles, c_tiles, p, values, ti=ti, tj=ti,
             regs_cols=col_regs,

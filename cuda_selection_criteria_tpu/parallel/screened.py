@@ -180,13 +180,26 @@ def _screen_chunk_hllaux(regs, aux_regs, r_tiles, c_tiles, e, n_real,
     when t_aux <= coef * (e1+e2) (hll_aux_threshold_coef), so the screen
     tests the certified MLE lower bound against that threshold
     (ops/screen.mle_lower_bound - valid at every p_aux), division-free."""
+    import os
+
+    from ..ops import screen as screen_ops
     from ..ops.screen import screen_s_z
 
-    s, z = screen_s_z(regs, r_tiles, c_tiles, p, values, ti=ti, tj=ti)
-    hits = _screen_post(
-        s, z, e, None, r_tiles * ti, c_tiles * ti, n_real, tau_scr, tau_cb,
-        p, 1, ti, ti, True, False,
-    )
+    fused = (os.environ.get("CSC_FUSED_SCREEN", "1") == "1"
+             and not screen_ops._interpret_default() and len(values) >= 2)
+    if fused:
+        # primary screen single-Pallas-pass (S/Z in VMEM scratch); the
+        # aux gate ANDs on below exactly as in the two-pass form
+        hits, _ = screen_ops.screen_hits_fused(
+            regs, r_tiles, c_tiles, e, None, n_real, tau_scr, tau_cb,
+            p, values, ti, 1, True, False,
+        )
+    else:
+        s, z = screen_s_z(regs, r_tiles, c_tiles, p, values, ti=ti, tj=ti)
+        hits = _screen_post(
+            s, z, e, None, r_tiles * ti, c_tiles * ti, n_real, tau_scr,
+            tau_cb, p, 1, ti, ti, True, False,
+        )
 
     s_a, z_a = screen_s_z(aux_regs, r_tiles, c_tiles, p_aux, values_aux,
                           ti=ti, tj=ti)
@@ -207,6 +220,10 @@ def _screen_chunk_hllaux(regs, aux_regs, r_tiles, c_tiles, e, n_real,
         aux_pass = 2.0 * m_a * m_a <= 3.0 * s_a * thresh
     else:
         aux_pass = 2.0 * m_a * (m_a - z_a) <= (3.0 * s_a - z_a) * thresh
+    if fused:  # int8 hits from the Pallas path: mask via select
+        hits = jnp.where(aux_pass, hits, jnp.int8(0))
+        return hits, jnp.sum(hits.astype(jnp.int32), axis=(1, 2),
+                             dtype=jnp.int32)
     hits &= aux_pass
     return hits, jnp.sum(hits, axis=(1, 2), dtype=jnp.int32)
 

@@ -161,3 +161,54 @@ def test_ring_gate_prune_kills_all_tiles_exactly():
     assert _round(host) == _round(ring)
     assert stats.get("tiles_gate_live", 0) == 0
     assert stats["dispatches"] == 0  # no MXU screen work at all
+
+
+def test_fused_strips_matches_ring_post():
+    """ops/screen.screen_hits_fused_strips (the ring engine's accelerator
+    path) == screen_s_z + _ring_post bit-for-bit, interpret mode, with
+    distinct row/col strips and nonzero global offsets."""
+    import jax.numpy as jnp
+    from cuda_selection_criteria_tpu.ops import screen
+    from cuda_selection_criteria_tpu.parallel.ring import _ring_post
+    from cuda_selection_criteria_tpu.parallel.screened import (
+        band_fingerprints,
+    )
+
+    p, ti = 8, 32
+    rng = np.random.default_rng(77)
+    strip = 96
+    regs_r = rng.integers(0, 11, size=(strip, 1 << p), dtype=np.uint8)
+    regs_c = rng.integers(0, 11, size=(strip, 1 << p), dtype=np.uint8)
+    e_r = np.sort(rng.uniform(0, 4000, strip)).astype(np.float32)
+    e_c = np.sort(rng.uniform(0, 4000, strip)).astype(np.float32)
+    e_c[:2] = 0.0
+    fp_r = np.asarray(band_fingerprints(
+        jnp.asarray(rng.integers(0, 1 << 63, (strip, 16), dtype=np.uint64)),
+        4, 4))
+    fp_c = np.asarray(band_fingerprints(
+        jnp.asarray(rng.integers(0, 1 << 63, (strip, 16), dtype=np.uint64)),
+        4, 4))
+    vals = tuple(sorted(set(screen.bank_values(regs_r))
+                        | set(screen.bank_values(regs_c))))
+    r_tiles = jnp.asarray(np.array([0, 1, 2], np.int32))
+    c_tiles = jnp.asarray(np.array([1, 0, 2], np.int32))
+    row_base, col_base = jnp.int32(96), jnp.int32(192)
+    n_real = jnp.int32(280)
+    tau_scr, tau_cb = jnp.float32(0.3), jnp.float32(0.25)
+
+    got_h, got_c = screen.screen_hits_fused_strips(
+        jnp.asarray(regs_r), jnp.asarray(regs_c), r_tiles, c_tiles,
+        jnp.asarray(e_r), jnp.asarray(e_c), jnp.asarray(fp_r),
+        jnp.asarray(fp_c), row_base, col_base, n_real, tau_scr, tau_cb,
+        p, vals, ti, 4, True, True, interpret=True)
+    ss, zz = screen.screen_s_z(
+        jnp.asarray(regs_r), r_tiles, c_tiles, p, vals, ti=ti, tj=ti,
+        regs_cols=jnp.asarray(regs_c))
+    want = _ring_post(
+        ss, zz, jnp.asarray(e_r), jnp.asarray(e_c), jnp.asarray(fp_r),
+        jnp.asarray(fp_c), row_base, col_base, r_tiles, c_tiles, n_real,
+        tau_scr, tau_cb, p, 4, ti, True, True)
+    np.testing.assert_array_equal(
+        np.asarray(got_h).astype(bool), np.asarray(want))
+    np.testing.assert_array_equal(
+        np.asarray(got_c), np.asarray(want).sum((1, 2)))
