@@ -45,10 +45,11 @@ P = 14
 M_SMH = 32  # aux_bytes=256 default -> m=32 buckets
 TAU = 0.9
 # The engine's measured v5e optimum (parallel.screened.auto_tile /
-# auto_chunk; r3e same-session sweep: 1024/33 = 1.19e9 pairs/s raw,
-# mxu_util 0.69 vs 0.84e9 / 0.49 at 512/132).
+# auto_chunk; r3e sweep found 1024/33 for the two-pass kernel; the r5
+# fused-kernel sweep moved the chunk optimum to 64: 1.117e9 vs 1.081e9
+# at 33, artifacts/r5/chain2/ktune.out).
 TI = 1024
-CHUNK = 33  # dispatch chunk; remainders use small bucketed dispatches
+CHUNK = 64  # dispatch chunk; remainders use small bucketed dispatches
 N_GENOMES = 16384
 ITEMS_PER_GENOME = 2048
 

@@ -1033,8 +1033,11 @@ def auto_tile(n):
 
 
 def auto_chunk(ti):
-    """Tiles per dispatch at equal per-dispatch mask memory (~35 MB)."""
-    return 33 if ti >= 1024 else 132
+    """Tiles per dispatch: the measured fused-kernel optimum (r5 sweep,
+    artifacts/r5/chain2/ktune.out - 64 beat 33/16 at ti=1024; the int8
+    hit masks are 4x smaller than the old S/Z blocks, so the bigger
+    chunk still bounds per-dispatch mask memory at ~67 MB)."""
+    return 64 if ti >= 1024 else 132
 
 
 def select_pairs_screened(bank, params, ti=None, chunk=None,
