@@ -10,6 +10,12 @@ driver runs this on one real TPU chip).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus the
 raw-kernel rate and achieved int8-MXU utilization as extra keys}.
 
+NOTE on headline vs raw since round 5: the headline path is the FUSED
+kernel (one Pallas pass, no Z pass, no S/Z materialization) while the
+"raw" extra key deliberately keeps measuring the two-pass S(+Z) kernel -
+a stable comparator across rounds - so headline >= raw is the expected
+steady state now (r5: 1.09e9 vs 1.06e9).
+
 vs_baseline: the reference publishes no absolute numbers (BASELINE.md), so
 the baseline is the reference CUDA kernel's speed-of-light on its target
 hardware (Makefile:26 -arch=sm_86, RTX 3080-class): kernel_CBsmh reads both
