@@ -342,9 +342,15 @@ def measure_ring(n_genomes=None):
 
     if n_genomes is None:
         left = 0.95 * _budget_secs() - _elapsed()
-        # measured totals incl. cold compile: 262k ~ 300 s, 131k ~ 150 s
-        n_genomes = (262144 if left > 420.0 else
-                     131072 if left > 240.0 else 32768)
+        # measured totals incl. cold compile: 262k ~ 300 s, 131k ~ 150 s;
+        # the 524k flagship tier (warm: 96 s run + ~90 s bank load,
+        # artifacts/r5/chain3/ring524k.out = 61.6x) only when its 8 GiB
+        # bank cache already exists (a cold host-side build is ~10 min)
+        n_genomes = (
+            524288 if left > 900.0 and os.path.exists(
+                "/tmp/csc_bench_bank_v3_524288x2048.npz") else
+            262144 if left > 420.0 else
+            131072 if left > 240.0 else 32768)
     regs, aux, e = build_synthetic_bank(n_genomes)
     bank = SketchBank(
         names=[f"g{i:05d}" for i in range(n_genomes)],

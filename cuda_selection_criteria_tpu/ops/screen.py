@@ -480,10 +480,11 @@ def _fused_gates(row_tiles, col_tiles, e, fp, n_real, tau_scr, tau_cb,
                  ti, n_bands, use_cb, use_smh):
     """XLA half of the fused screen: e' vectors + staged int8 gates.
 
-    A SEPARATE jit from the Pallas program: one compiled unit holding
-    both the (T, ti, ti) broadcast gate ops and the Mosaic custom call
-    HTTP-500s in the remote compile helper at 1024-tiles, while each
-    half compiles alone (experiments/r5_mosaic_bisect*.py)."""
+    Kept as its own jit so direct (non-jitted) callers get the gate
+    program cached independently of the Pallas program; when called
+    from a jitted engine path (screened._screen_chunk, the ring step)
+    both halves inline into ONE program, which compiles and runs at
+    the production shapes (artifacts/r5/engine_fused_probe.out)."""
     lane = jnp.arange(ti, dtype=jnp.int32)[None, :]
     ii = row_tiles[:, None] * ti + lane  # (T, ti) global row ids
     jj = col_tiles[:, None] * ti + lane
