@@ -17,8 +17,27 @@ sketch bank for fast mmap-free loading.
 
 import gzip
 import struct
+import zlib
 
 import numpy as np
+
+
+def _gz_write(path, payload):
+    """Write `payload` gzip-compressed with the reference's EXACT bytes.
+
+    The reference serializes through zlib's gzFile (hll_t::write uses
+    gzopen, sketch/include/sketch/hll.h:1103; write_smh likewise,
+    src/build_sketch.cpp:9-20): default level 6, bare 10-byte header
+    (no FNAME, MTIME=0, XFL=0, OS=3 - zlib's deflate.c emits it when
+    gzhead is NULL). Python's gzip module writes FNAME + current MTIME
+    at level 9, so its files are only payload-equal. zlib.compressobj
+    with wbits=31 routes through the same deflate gzip-wrapping path,
+    making our sketch files RAW-byte-identical to the committed
+    reference outputs (verified in tests/test_formats.py)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    data = co.compress(payload) + co.flush()
+    with open(path, "wb") as fh:
+        fh.write(data)
 
 # EstimationMethod enum values (reference: hll.h:61-83).
 ESTIM_ORIGINAL = 0
@@ -59,8 +78,7 @@ def write_hll(path, p, core, value=-1.0, estim=ESTIM_ERTL_MLE,
         + struct.pack("<d", value)
         + core.tobytes()
     )
-    with gzip.open(path, "wb") as fh:
-        fh.write(payload)
+    _gz_write(path, payload)
 
 
 def read_smh(path):
@@ -79,8 +97,7 @@ def write_smh(path, h):
     (src/build_sketch.cpp:9-20)."""
     h = np.ascontiguousarray(h, dtype=np.uint64)
     payload = struct.pack("<I", h.size) + h.tobytes()
-    with gzip.open(path, "wb") as fh:
-        fh.write(payload)
+    _gz_write(path, payload)
 
 
 def save_bank(path, names, regs, cards=None, aux=None, aux_kind=None, meta=None):

@@ -84,19 +84,30 @@ def test_read_committed_files():
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
-def test_rewrite_committed_file_identical_payload(tmp_path):
-    """write(read(x)) must produce the same decompressed payload bytes."""
+def test_rewrite_committed_file_identical_raw_bytes(tmp_path):
+    """write(read(x)) must reproduce the committed reference files
+    RAW-byte-for-byte - gzip header (bare 10-byte zlib-gzopen header:
+    MTIME=0, no FNAME, XFL=0, OS=3) and level-6 deflate stream included,
+    not just the decompressed payload (formats._gz_write)."""
     files = [
         line.strip()
         for line in open(os.path.join(REFERENCE, "test_influeza_filelist.txt"))
         if line.strip()
     ]
-    src = os.path.join(REFERENCE, files[0]) + ".hll"
-    p, core, hdr = formats.read_hll(src)
-    dst = str(tmp_path / "re.hll")
-    formats.write_hll(dst, p, core, value=hdr["value"],
-                      is_calculated=hdr["is_calculated"])
-    assert gzip.open(src, "rb").read() == gzip.open(dst, "rb").read()
+    for rel in files:
+        src = os.path.join(REFERENCE, rel) + ".hll"
+        p, core, hdr = formats.read_hll(src)
+        dst = str(tmp_path / "re.hll")
+        formats.write_hll(dst, p, core, value=hdr["value"],
+                          is_calculated=hdr["is_calculated"])
+        assert open(src, "rb").read() == open(dst, "rb").read(), src
+        for ext in (".smh4", ".smh64"):
+            s_src = os.path.join(REFERENCE, rel) + ext
+            if not os.path.exists(s_src):
+                continue
+            s_dst = str(tmp_path / ("re" + ext))
+            formats.write_smh(s_dst, formats.read_smh(s_src))
+            assert open(s_src, "rb").read() == open(s_dst, "rb").read(), s_src
 
 
 def test_bank_save_load_roundtrip(tmp_path):
